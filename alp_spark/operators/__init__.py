@@ -1,0 +1,14 @@
+"""BLAS-1/2/3 primitives over DataFrames (SURVEY.md §2.4-2.6)."""
+
+from .blas1 import (  # noqa: F401
+    apply_mask,
+    dot,
+    e_wise_apply,
+    e_wise_map,
+    fold_scalar,
+    fold_vector,
+    unzip_vector,
+    zip_vectors,
+)
+from .blas2 import mxv, vxm  # noqa: F401
+from .blas3 import e_wise_apply_matrix, mxm, outer  # noqa: F401

@@ -1,0 +1,144 @@
+"""BLAS-1 vector primitives (ref spec: base/blas1.hpp, 4167 LoC;
+impl: reference/blas1.hpp, 10085 LoC — SURVEY.md §2.4).
+
+Semantics pinned from the reference:
+- ``eWiseApply`` with a plain *operator* intersects sparsity structures
+  (base/blas1.hpp:1391,1501) → inner join.
+- ``eWiseApply`` with a *monoid* unions them, absent entries read as the
+  identity (base/blas1.hpp:1616-1617) → full-outer join + coalesce.
+- masked variants gate the *output* entries by a structural mask,
+  optionally inverted (descriptors.hpp:66/103) → semi/anti join.
+- folds reduce a (masked) vector into a scalar under a monoid
+  (base/blas1.hpp:3840-3977) → ``agg`` to the driver.
+- ``dot`` is the fold of an elementwise combine — generalised beyond
+  (add, mul): PageRank residual uses (add, abs_diff)
+  (simple_pagerank.hpp:433-437), label-prop convergence (or, not_equal)
+  (label.hpp:253) → inner join + agg in ONE shuffle.
+
+Everything here stays JVM-side (Column expressions, whole-stage codegen);
+no Python hits the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..algebra import BinOp, Monoid
+from ..containers import ID, VAL
+
+
+def apply_mask(
+    x: DataFrame,
+    mask: DataFrame | None,
+    invert: bool = False,
+    structural: bool = True,
+) -> DataFrame:
+    """Structural masking (descriptors.hpp:66/103/117): keep entries of x
+    whose id is (not) present in the mask. Non-structural masks additionally
+    require the mask *value* to be truthy."""
+    if mask is None:
+        return x
+    m = mask
+    if not structural and VAL in mask.columns:
+        m = mask.where(F.col(VAL).cast("boolean"))
+    how = "left_anti" if invert else "left_semi"
+    return x.join(m.select(ID), on=ID, how=how)
+
+
+def e_wise_apply(
+    x: DataFrame,
+    y: DataFrame,
+    op: BinOp,
+    monoid: Monoid | None = None,
+    mask: DataFrame | None = None,
+    invert_mask: bool = False,
+) -> DataFrame:
+    """z = x ⊙ y.
+
+    Operator form (monoid=None): sparsity INTERSECTION — base/blas1.hpp:1391.
+    Monoid form: sparsity UNION, absent side reads the identity —
+    base/blas1.hpp:1616. eWiseMul ≡ operator form with ⊗; eWiseAdd ≡ monoid
+    form with ⊕ (base/blas1.hpp:1912/2794).
+    """
+    if monoid is None:
+        out = (
+            x.alias("x")
+            .join(y.alias("y"), on=F.col(f"x.{ID}") == F.col(f"y.{ID}"), how="inner")
+            .select(
+                F.col(f"x.{ID}").alias(ID),
+                op(F.col(f"x.{VAL}"), F.col(f"y.{VAL}")).alias(VAL),
+            )
+        )
+    else:
+        ident = monoid.lit_identity()
+        out = (
+            x.alias("x")
+            .join(y.alias("y"), on=F.col(f"x.{ID}") == F.col(f"y.{ID}"), how="full_outer")
+            .select(
+                F.coalesce(F.col(f"x.{ID}"), F.col(f"y.{ID}")).alias(ID),
+                monoid.op(
+                    F.coalesce(F.col(f"x.{VAL}"), ident),
+                    F.coalesce(F.col(f"y.{VAL}"), ident),
+                ).alias(VAL),
+            )
+        )
+    return apply_mask(out, mask, invert=invert_mask)
+
+
+def fold_vector(z: DataFrame, x: DataFrame, monoid: Monoid) -> DataFrame:
+    """z ⊕= x under union semantics (foldl vector←vector,
+    reference/blas1.hpp:9860) — the accumulate step of eWiseAdd."""
+    return e_wise_apply(z, x, monoid.op, monoid=monoid)
+
+
+def fold_scalar(
+    x: DataFrame,
+    monoid: Monoid,
+    mask: DataFrame | None = None,
+    invert_mask: bool = False,
+) -> object:
+    """α = fold(x|mask) under a monoid (base/blas1.hpp:3840-3909). Used for
+    the Pregel halt vote (pregel.hpp:812-814) and PageRank dangling mass
+    (simple_pagerank.hpp:312-314, with invert_mask). Spark's treeAggregate
+    partial+final reduction is the allreduce (base/collectives.hpp:121)."""
+    xm = apply_mask(x, mask, invert=invert_mask)
+    row = xm.agg(monoid.agg(F.col(VAL)).alias("acc")).collect()[0]
+    return monoid.identity if row["acc"] is None else row["acc"]
+
+
+def dot(
+    x: DataFrame,
+    y: DataFrame,
+    add_monoid: Monoid,
+    mul_op: BinOp,
+) -> object:
+    """⟨x,y⟩ under (⊕-monoid, ⊗-op) — base/blas1.hpp:4056, impl dot_generic
+    reference/blas1.hpp:9520. Intersection semantics; one join + one agg,
+    single shuffle, map-side partial aggregation applies."""
+    row = (
+        x.alias("x")
+        .join(y.alias("y"), on=F.col(f"x.{ID}") == F.col(f"y.{ID}"), how="inner")
+        .agg(add_monoid.agg(mul_op(F.col(f"x.{VAL}"), F.col(f"y.{VAL}"))).alias("acc"))
+        .collect()[0]
+    )
+    return add_monoid.identity if row["acc"] is None else row["acc"]
+
+
+def e_wise_map(x: DataFrame, fn) -> DataFrame:
+    """Unary map over present entries (eWiseMap, reference/blas1.hpp:9685).
+    ``fn`` is a Column→Column builder — stays in codegen."""
+    return x.select(F.col(ID), fn(F.col(VAL)).alias(VAL))
+
+
+def zip_vectors(x: DataFrame, y: DataFrame) -> DataFrame:
+    """zip (reference/blas1.hpp:9975): pack aligned entries into a struct."""
+    return e_wise_apply(x, y, lambda a, b: F.struct(a.alias("first"), b.alias("second")))
+
+
+def unzip_vector(z: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """unzip (reference/blas1.hpp:10023)."""
+    return (
+        z.select(F.col(ID), F.col(f"{VAL}.first").alias(VAL)),
+        z.select(F.col(ID), F.col(f"{VAL}.second").alias(VAL)),
+    )

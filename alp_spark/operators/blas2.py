@@ -1,0 +1,144 @@
+"""BLAS-2 matrix-vector primitives — the engine core (SURVEY.md §2.5).
+
+Ref spec: base/blas2.hpp:243-936 (mxv/vxm variant families, full mask +
+descriptor semantics at base/blas2.hpp:62-234); impl: ``vxm_generic``
+reference/blas2.hpp:870-1580 with a gather (CRS, pull) kernel at :295 and a
+scatter (CCS, push) kernel at :646, chosen by a loop-size cost model
+(reference/blas2.hpp:1104-1145).
+
+Spark design
+------------
+One edge table ``(src, dst[, val])`` serves both directions (the analog of
+ALP's dual CRS+CCS storage, reference/matrix.hpp:912 — transpose is a free
+column swap):
+
+- ``vxm(v, A)``: u[j] = ⊕_i v[i] ⊗ A[i,j]  → join v on ``src``, aggregate
+  by ``dst``  (message push along edges — the Pregel exchange,
+  pregel.hpp:882-884).
+- ``mxv(A, v)``: u[i] = ⊕_j A[i,j] ⊗ v[j]  → vxm over Aᵀ.
+
+The gather/scatter strategy choice maps to join strategy: a *sparse*
+frontier v is broadcast (no edge shuffle, messages pruned at the scan by
+the semi-join), a *dense* v uses the shuffle hash join which is co-located
+when the edge table is pre-partitioned by ``src``. ``strategy='auto'``
+decides from the frontier size — our analog of the reference cost model;
+AQE re-plans at runtime as backstop.
+
+Masks prune work BEFORE the shuffle (output mask semi-joins edges on
+``dst``; input mask filters v) — the analog of "iterate only mask
+nonzeroes" (reference/blas2.hpp:1270-1280). Aggregation is a single
+``groupBy``: Spark's map-side partial aggregation is the thread-local
+``asyncAssign``/``joinUpdate`` merge (reference/blas2.hpp:1259-1265), and
+it is what absorbs hub-vertex skew at the reduce; explicit salting for the
+join side lives in :mod:`alp_spark.plans.skew`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..algebra import Semiring
+from ..containers import DST, ID, SRC, VAL
+from .blas1 import apply_mask, e_wise_apply
+
+#: frontier sizes at or below this broadcast by default (~32MB of longs+doubles)
+BROADCAST_NNZ_THRESHOLD = 1_000_000
+
+
+def _resolve_strategy(strategy: str, frontier_nnz: int | None) -> str:
+    if strategy != "auto":
+        return strategy
+    if frontier_nnz is not None and frontier_nnz <= BROADCAST_NNZ_THRESHOLD:
+        return "broadcast"
+    return "shuffle"
+
+
+def vxm(
+    v: DataFrame,
+    A: DataFrame,
+    semiring: Semiring,
+    out_mask: DataFrame | None = None,
+    invert_out_mask: bool = False,
+    in_mask: DataFrame | None = None,
+    transpose: bool = False,
+    accum: DataFrame | None = None,
+    strategy: str = "auto",
+    frontier_nnz: int | None = None,
+) -> DataFrame:
+    """u = v ⊙.⊕ A  (base/blas2.hpp:307; u[j] = ⊕_i v[i] ⊗ A[i,j]).
+
+    ``accum``: existing u to ⊕-fold the product into (the reference's
+    in-place accumulation u = u ⊕ vA). ``transpose`` swaps src/dst
+    (descriptors.hpp:71). ``strategy``: 'broadcast' | 'shuffle' | 'auto'
+    with ``frontier_nnz`` as the auto-mode cost input.
+    """
+    join_key, group_key = (DST, SRC) if transpose else (SRC, DST)
+
+    if in_mask is not None:
+        v = apply_mask(v, in_mask)
+
+    edges = A
+    if out_mask is not None:
+        # prune before the shuffle: only edges landing in the mask matter
+        how = "left_anti" if invert_out_mask else "left_semi"
+        edges = edges.join(
+            out_mask.select(F.col(ID).alias(group_key)), on=group_key, how=how
+        )
+
+    vv = v.select(F.col(ID).alias(join_key), F.col(VAL).alias("_v"))
+    if _resolve_strategy(strategy, frontier_nnz) == "broadcast":
+        vv = F.broadcast(vv)
+
+    a_val = F.col(VAL) if VAL in A.columns else F.lit(semiring.one)
+    contrib = semiring.mul(F.col("_v"), a_val)
+
+    u = (
+        edges.join(vv, on=join_key, how="inner")
+        .groupBy(F.col(group_key).alias(ID))
+        .agg(semiring.add.agg(contrib).alias(VAL))
+    )
+
+    if accum is not None:
+        u = e_wise_apply(accum, u, semiring.add.op, monoid=semiring.add)
+        if out_mask is not None:
+            # accumulated entries outside the mask stay untouched in ALP;
+            # we re-merge: masked region from the product-fold, rest from accum
+            u_in = apply_mask(u, out_mask, invert=invert_out_mask)
+            u_out = apply_mask(accum, out_mask, invert=not invert_out_mask)
+            u = u_in.unionByName(u_out)
+    return u
+
+
+def mxv(
+    A: DataFrame,
+    v: DataFrame,
+    semiring: Semiring,
+    out_mask: DataFrame | None = None,
+    invert_out_mask: bool = False,
+    in_mask: DataFrame | None = None,
+    transpose: bool = False,
+    accum: DataFrame | None = None,
+    strategy: str = "auto",
+    frontier_nnz: int | None = None,
+) -> DataFrame:
+    """u = A ⊙.⊕ v  (base/blas2.hpp:243; u[i] = ⊕_j A[i,j] ⊗ v[j]) —
+    identically vxm over Aᵀ (base/blas2.hpp:281-283), with the ⊗ operand
+    order flipped to match the reference (multiply(A_ij, v_j))."""
+    flipped = Semiring(
+        add=semiring.add,
+        mul=lambda x, y: semiring.mul(y, x),
+        one=semiring.one,
+    )
+    return vxm(
+        v,
+        A,
+        flipped,
+        out_mask=out_mask,
+        invert_out_mask=invert_out_mask,
+        in_mask=in_mask,
+        transpose=not transpose,
+        accum=accum,
+        strategy=strategy,
+        frontier_nnz=frontier_nnz,
+    )

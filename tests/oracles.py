@@ -1,0 +1,212 @@
+"""Pure-NumPy golden oracles transliterating the reference algorithm
+semantics (no scipy in this environment; dense matrices are fine at test
+scale).
+
+Each function cites the reference source it transliterates so the engine
+tests pin *reference* behaviour, not merely self-consistency.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def adjacency(n: int, edges, weights: bool = False) -> np.ndarray:
+    A = np.zeros((n, n))
+    if weights:
+        for s, d, w in edges:
+            A[s, d] = w
+    else:
+        for s, d in edges:
+            A[s, d] = 1.0
+    return A
+
+
+def simple_pagerank(
+    n: int,
+    edges,
+    alpha: float = 0.85,
+    conv: float = 1e-7,
+    max_iter: int = 1000,
+):
+    """simple_pagerank.hpp:196-460 — power iteration with dangling mass.
+
+    Per iteration: dangling = Σ pr[rowsum==0]; scaled = pr * (α/rowsum)
+    (0 on dangling rows); d = (α·dangling + 1-α)/n; pr' = scaledᵀ·A + d;
+    residual = Σ|pr' - pr| (L1); stop at residual ≤ conv.
+    """
+    A = adjacency(n, edges)
+    rowsum = A.sum(axis=1)
+    inv = np.where(rowsum > 0, np.divide(alpha, np.where(rowsum > 0, rowsum, 1.0)), 0.0)
+    pr = np.full(n, 1.0 / n)
+    iters = 0
+    while True:
+        dangling = pr[rowsum == 0].sum()
+        scaled = pr * inv
+        d = (alpha * dangling + 1.0 - alpha) / n
+        new = scaled @ A + d  # vxm: u[j] = Σ_i scaled[i] A[i,j]
+        residual = np.abs(new - pr).sum()
+        pr = new
+        iters += 1
+        if (conv != 0.0 and residual <= conv) or iters >= max_iter:
+            return pr, iters, residual
+
+
+def pregel_pagerank(
+    n: int,
+    edges,
+    alpha: float = 0.15,
+    tolerance: float = 1e-5,
+    local_converge: bool = False,
+    max_rounds: int = 0,
+):
+    """pregel_pagerank.hpp:87-144 over the pregel.hpp:650-920 round loop.
+
+    Round 0 sets score=1; round>0: score = α + (1-α)·incoming, converged
+    vertices either deactivate (local) or vote to halt (global). Broadcast
+    out = score/outdeg. Inactive vertices keep their last out-message
+    (out_sparsify defaults to NONE, pregel.hpp:242) and those stale
+    messages CONTINUE to be delivered — reference behaviour.
+    """
+    A = adjacency(n, edges)
+    outdeg = A.sum(axis=1)
+    score = np.zeros(n)
+    out = np.zeros(n)  # Id of the add monoid
+    incoming = np.zeros(n)
+    active = np.ones(n, dtype=bool)
+    step = 0
+    while True:
+        halt = np.zeros(n, dtype=bool)
+        prev_active = active.copy()
+        for i in np.where(active)[0]:
+            if step == 0:
+                score[i] = 1.0
+            else:
+                old = score[i]
+                score[i] = alpha + (1.0 - alpha) * incoming[i]
+                if abs(score[i] - old) < tolerance:
+                    if local_converge:
+                        active[i] = False
+                    else:
+                        halt[i] = True
+            if outdeg[i] > 0:
+                out[i] = score[i] / outdeg[i]
+        step += 1
+        if halt[prev_active].all() and prev_active.any():
+            break
+        if not active.any():
+            break
+        if max_rounds > 0 and step > max_rounds:
+            break
+        incoming = np.where(active, out @ A, 0.0)  # in[j] = Σ_i out[i]A[i,j], masked to active
+    return score, step
+
+
+def pregel_connected_components(n: int, edges, max_rounds: int = 0):
+    """pregel_connected_components.hpp:89-152: max-label flood over the
+    Pregel loop; exact integer labels."""
+    A = adjacency(n, edges) > 0
+    outdeg = A.sum(axis=1)
+    indeg = A.sum(axis=0)
+    label = np.arange(n, dtype=np.int64)
+    NEG_INF = np.iinfo(np.int64).min
+    out = np.full(n, NEG_INF, dtype=np.int64)  # Id of max monoid
+    incoming = np.full(n, NEG_INF, dtype=np.int64)
+    active = np.ones(n, dtype=bool)
+    step = 0
+    while True:
+        halt = np.zeros(n, dtype=bool)
+        prev_active = active.copy()
+        for i in np.where(active)[0]:
+            if step > 0:
+                if indeg[i] == 0:
+                    halt[i] = True
+                elif label[i] < incoming[i]:
+                    label[i] = incoming[i]
+                else:
+                    halt[i] = True
+            if outdeg[i] > 0:
+                out[i] = label[i]
+            else:
+                halt[i] = True
+        step += 1
+        if halt[prev_active].all() and prev_active.any():
+            break
+        if not active.any():
+            break
+        if max_rounds > 0 and step > max_rounds:
+            break
+        # in[j] = max over i with edge (i,j) of out[i]; Id where no message
+        msgs = np.where(A, out[:, None], NEG_INF).max(axis=0)
+        incoming = np.where(active, msgs, NEG_INF)
+    return label, step
+
+
+def label_propagation(
+    n: int, weighted_edges, y: np.ndarray, l: int, max_iterations: int = 1000
+):
+    """label.hpp:122-290: fNext = W·f, threshold fNext·dinv at 0.5 into
+    {0,1}, clamp first l entries to f (≡ y), converge when nothing flips."""
+    W = adjacency(n, weighted_edges, weights=True)
+    diag = W.sum(axis=1)
+    dinv = 1.0 / diag
+    f = y.astype(float).copy()
+    it = 1
+    while it < max_iterations:
+        fnext = W @ f
+        fnext = np.where(fnext * dinv < 0.5, 0.0, 1.0)
+        fnext[:l] = f[:l]
+        if not (f != fnext).any():
+            return fnext, it, True
+        f = fnext
+        it += 1
+    return f, it, False
+
+
+def triangle_count(n: int, edges) -> int:
+    """Masked-SpGEMM triangle count (SURVEY.md §2.6/§2.11): undirected
+    graph given as both-direction edge list; count = trace(A³)/6."""
+    A = adjacency(n, edges)
+    return int(round(np.trace(A @ A @ A) / 6.0))
+
+
+def knn_reach(n: int, edges, source: int, k: int) -> np.ndarray:
+    """knn.hpp:82-140: u = ((A+I)ᵀ)ᵏ e_source under (or, and), transposed
+    mxv ⇒ forward reachability within ≤k hops (self included)."""
+    M = ((adjacency(n, edges) + np.eye(n)) > 0).astype(float)
+    v = np.zeros(n)
+    v[source] = 1.0
+    for _ in range(k):
+        v = (M.T @ v > 0).astype(float)
+    return v > 0
+
+
+def kcore(n: int, edges) -> np.ndarray:
+    """kcore_decomposition.hpp: coreness by iterative peeling (classic
+    definition; the reference smoke-tests against ground truth)."""
+    adj = [set() for _ in range(n)]
+    for s, d in edges:
+        if s != d:
+            adj[s].add(d)
+            adj[d].add(s)
+    deg = np.array([len(a) for a in adj])
+    core = np.zeros(n, dtype=np.int64)
+    alive = set(range(n))
+    k = 0
+    while alive:
+        peel = [v for v in alive if deg[v] <= k]
+        if not peel:
+            k += 1
+            continue
+        while peel:
+            v = peel.pop()
+            if v not in alive:
+                continue
+            core[v] = k
+            alive.discard(v)
+            for u in adj[v]:
+                if u in alive:
+                    deg[u] -= 1
+                    if deg[u] <= k:
+                        peel.append(u)
+    return core
