@@ -1,0 +1,137 @@
+"""Canonical PageRank with dangling-node correction.
+
+Transliterates the *semantics* of the reference
+(include/graphblas/algorithms/simple_pagerank.hpp:134-494) into a
+driver-side loop over DataFrame jobs:
+
+- init pr = 1/n (dense)                       (simple_pagerank.hpp:200)
+- row sums via the (plus, left_assign_if) pattern ring with transpose
+  (simple_pagerank.hpp:210-222) → out-degrees; absent = dangling row
+- inv[i] = α/rowsum[i], dangling rows stay absent
+  (simple_pagerank.hpp:241-249 keeps 0; sparse-absent ≡ 0 here)
+- per iteration (simple_pagerank.hpp:286-451):
+    dangling  = Σ pr[i] over dangling i        (foldl<invert_mask>, :312)
+    scaled    = pr ⊗ inv  (intersection drops dangling rows, :291-302)
+    d         = (α·dangling + 1 - α)/n                            (:351)
+    pr'       = scaled · L + d     (vxm plus-times, :361; + fold, :402)
+    residual  = Σ|pr' - pr|        (dot under (add, abs_diff), :433-437)
+    stop when residual ≤ conv or iter == max
+
+Scale design: the only per-iteration shuffles are the vxm groupBy(dst)
+(map-side partial aggregation absorbs hub in-degree skew) and one id-join;
+residual AND the *next* iteration's dangling mass are computed in a single
+action over one joined frame, so each iteration costs exactly one job
+after the pipeline warms. ``pr`` is localCheckpoint'ed every iteration to
+truncate lineage (resumable parquet checkpoints are layered on by
+:mod:`alp_spark.checkpoint` when a checkpointer is passed).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import algebra as alg
+from ..containers import ID, VAL, set_dense
+from ..operators import vxm
+from ..operators.blas2 import BROADCAST_NNZ_THRESHOLD
+
+
+@dataclass
+class PageRankResult:
+    ranks: DataFrame  # (id, val)
+    iterations: int
+    residual: float
+    residuals: list[float] = field(default_factory=list)
+
+
+def simple_pagerank(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int,
+    alpha: float = 0.85,
+    conv: float = 1e-7,
+    max_iter: int = 1000,
+    checkpointer=None,
+    checkpoint_every: int = 5,
+    initial: DataFrame | None = None,
+    start_iteration: int = 0,
+) -> PageRankResult:
+    """Run PageRank to convergence; defaults mirror the reference
+    (α=0.85, conv=1e-7, max=1000 — simple_pagerank.hpp:140-142)."""
+    if not 0 < alpha < 1 or max_iter <= 0:
+        raise ValueError("alpha must be in (0,1), max_iter > 0")  # ILLEGAL checks
+
+    # --- prelude: inverted scaled out-degrees -------------------------------
+    ones = set_dense(spark, n, 1.0)
+    inv = (
+        vxm(ones, edges, alg.PLUS_FIRST, transpose=True, strategy="shuffle")
+        .select(F.col(ID), (F.lit(alpha) / F.col(VAL)).alias("inv"))
+        .persist()
+    )
+    inv.count()
+    inv_small = None
+    if n <= BROADCAST_NNZ_THRESHOLD:
+        inv_small = F.broadcast(inv)
+
+    pr = initial if initial is not None else set_dense(spark, n, 1.0 / n)
+    pr = pr.localCheckpoint(eager=True)
+
+    # initial dangling mass: Σ pr over ids absent from inv
+    dangling = (
+        pr.join(inv, on=ID, how="left_anti").agg(F.sum(VAL).alias("d")).collect()[0]["d"]
+        or 0.0
+    )
+
+    iters = start_iteration
+    residual = float("inf")
+    residuals: list[float] = []
+    while True:
+        d = (alpha * dangling + 1.0 - alpha) / n
+
+        # scaled = pr ⊗ inv (intersection); new = scaled·L (sparse);
+        # next = coalesce(new, 0) + d, carried with old value for the fused agg
+        scaled = (
+            pr.join(inv_small if inv_small is not None else inv, on=ID, how="inner")
+            .select(F.col(ID), (F.col(VAL) * F.col("inv")).alias(VAL))
+        )
+        new = vxm(scaled, edges, alg.PLUS_TIMES, strategy="shuffle")
+        nxt = (
+            pr.alias("p")
+            .join(new.alias("m"), on=ID, how="left")
+            .join(inv.select(ID, F.lit(True).alias("_has_out")), on=ID, how="left")
+            .select(
+                F.col(ID),
+                (F.coalesce(F.col(f"m.{VAL}"), F.lit(0.0)) + F.lit(d)).alias(VAL),
+                F.col(f"p.{VAL}").alias("_old"),
+                F.col("_has_out"),
+            )
+        )
+        nxt = nxt.localCheckpoint(eager=True)
+
+        # ONE action: L1 residual + next iteration's dangling mass
+        row = nxt.agg(
+            F.sum(F.abs(F.col(VAL) - F.col("_old"))).alias("residual"),
+            F.sum(F.when(F.col("_has_out").isNull(), F.col(VAL))).alias("dangling"),
+        ).collect()[0]
+        residual = float(row["residual"])
+        dangling = float(row["dangling"] or 0.0)
+        residuals.append(residual)
+
+        old = pr
+        pr = nxt.select(ID, VAL)
+        old.unpersist()
+        iters += 1
+
+        if checkpointer is not None and iters % checkpoint_every == 0:
+            checkpointer.save(pr, superstep=iters, metrics={"residual": residual})
+
+        if (conv != 0.0 and residual <= conv) or iters >= max_iter:
+            break
+
+    inv.unpersist()
+    if checkpointer is not None:
+        checkpointer.save(pr, superstep=iters, metrics={"residual": residual}, final=True)
+    return PageRankResult(ranks=pr, iterations=iters, residual=residual, residuals=residuals)
