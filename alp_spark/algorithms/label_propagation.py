@@ -1,0 +1,98 @@
+"""Semi-supervised label propagation over a weighted symmetric graph.
+
+Transliterates include/graphblas/algorithms/label.hpp:122-290 (random-walk
+normalised propagation, Kamvar et al. 2003):
+
+- diag[i] = Σ_j W[i,j] via mxv over plus-times with a ones vector
+  (label.hpp:167); dinv = 1/diag (:184-187)
+- iterate: fNext = W·f (mxv, :218); threshold fNext[i]·dinv[i] at 0.5
+  into {0,1} (:228-231); clamp the first l seeded entries back (:238-242)
+- converge when dot under (or, not_equal) finds no flip (:253);
+  iteration budget ``iter < max_iterations`` starting at 1 (:210)
+
+Returns exact {0,1} labels. The threshold+clamp step is a single Column
+expression — no Python in the loop body; one mxv shuffle per iteration
+plus one convergence action.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import algebra as alg
+from ..containers import ID, VAL, set_dense
+from ..operators import mxv
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame  # (id, val) ∈ {0.0, 1.0}
+    iterations: int
+    converged: bool  # reference returns FAILED when not
+
+
+def label_propagation(
+    spark: SparkSession,
+    weighted_edges: DataFrame,  # (src, dst, val) symmetric
+    y: DataFrame,  # (id, val) full initial labels; first l are seeds
+    n: int,
+    l: int,
+    max_iterations: int = 1000,
+) -> LabelPropResult:
+    if l == 0 or n == 0:
+        raise ValueError("need n > 0 and at least one seed (reference ILLEGAL)")
+
+    ones = set_dense(spark, n, 1.0)
+    dinv = (
+        mxv(weighted_edges, ones, alg.PLUS_TIMES)
+        .select(ID, (F.lit(1.0) / F.col(VAL)).alias("dinv"))
+        .persist()
+    )
+    dinv.count()
+
+    # seeds: ids [0, l) clamped to y (mask fixture semantics, label.hpp:193)
+    seeds = y.where(F.col(ID) < l).select(ID, F.col(VAL).alias("_seed")).persist()
+
+    f = y.localCheckpoint(eager=True)
+    it = 1
+    converged = False
+    while it < max_iterations:
+        fnext_raw = mxv(weighted_edges, f, alg.PLUS_TIMES, strategy="shuffle")
+        fnext = (
+            f.select(ID)
+            .join(fnext_raw.select(ID, F.col(VAL).alias("_wx")), on=ID, how="left")
+            .join(dinv, on=ID, how="left")
+            .join(seeds, on=ID, how="left")
+            .select(
+                ID,
+                F.coalesce(
+                    F.col("_seed"),  # clamp seeded vertices
+                    F.when(
+                        F.coalesce(F.col("_wx"), F.lit(0.0)) * F.col("dinv") < 0.5,
+                        F.lit(0.0),
+                    ).otherwise(F.lit(1.0)),
+                ).alias(VAL),
+            )
+        )
+        fnext = fnext.localCheckpoint(eager=True)
+        # convergence: dot under (or, not_equal) — label.hpp:253
+        flips = (
+            f.alias("a")
+            .join(fnext.alias("b"), on=ID)
+            .where(F.col(f"a.{VAL}") != F.col(f"b.{VAL}"))
+            .limit(1)
+            .count()
+        )
+        f.unpersist()
+        f = fnext
+        if flips == 0:
+            converged = True
+            break
+        it += 1
+
+    dinv.unpersist()
+    seeds.unpersist()
+    return LabelPropResult(labels=f, iterations=it, converged=converged)

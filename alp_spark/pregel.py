@@ -1,0 +1,214 @@
+"""Vertex-centric Pregel runtime on DataFrames.
+
+Re-expresses ``grb::interfaces::Pregel`` (reference:
+include/graphblas/interfaces/pregel.hpp:337-953) as a driver-side
+superstep loop over one state DataFrame; semantics traced from the
+reference ``execute`` (pregel.hpp:650-920):
+
+1. the vertex program runs on ACTIVE vertices only, vectorized
+   (masked eWiseLambda, pregel.hpp:765-804 → one ``mapInPandas`` pass
+   where the program is handed the whole Arrow batch plus the ``active``
+   column and the runtime restores inactive rows);
+2. halt check: terminate when every vertex that ran this round voted to
+   halt (foldl over the round-entry active set, pregel.hpp:812-814);
+3. the active set only shrinks (sparsification, pregel.hpp:831-833);
+   terminate when empty (:840-847); ``max_rounds`` → FAILED (:850-858);
+4. halt votes reset each round (:865-878);
+5. message exchange: in[j] = ⊕_{i→j} out[i], output-masked to the new
+   active set — the (⊕, left_assign_if) broadcast ring vxm
+   (pregel.hpp:882-884, ring built at :714-721). NOTE the reference
+   default keeps ``out`` dense (SparsificationStrategy NONE,
+   pregel.hpp:242): vertices that went inactive KEEP broadcasting their
+   last message. We reproduce that exactly — it is load-bearing for
+   round-count and label parity.
+
+Per-superstep Spark cost: one message groupBy (shuffle, map-side partial
+agg absorbs hub in-degree skew), one id-join, one ``mapInPandas`` program
+pass, one small stats action. State is localCheckpoint'ed every round to
+truncate lineage and parquet-checkpointed with lineage + metrics every
+``checkpoint_every`` rounds (resumable — north rule).
+
+The per-vertex ``PregelState`` fields (pregel.hpp:266-326) map to columns
+``active, halt, outdegree, indegree, id`` plus context globals
+``round, num_vertices, num_edges`` on :class:`PregelContext`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import algebra as alg
+from .containers import DST, ID, SRC, VAL
+from .operators import vxm
+
+
+@dataclass
+class PregelContext:
+    round: int
+    num_vertices: int
+    num_edges: int
+    data: object = None
+
+
+@dataclass
+class PregelResult:
+    state: DataFrame  # (id, state, out, active, halt, outdegree, indegree)
+    rounds: int
+    converged: bool  # False ⇔ max_rounds exceeded (reference RC FAILED)
+    history: list[dict] = field(default_factory=list)
+
+
+VertexProgram = Callable[[pd.DataFrame, PregelContext], pd.DataFrame]
+
+_STATE_COLS = ["id", "state", "out", "active", "halt", "outdegree", "indegree"]
+
+
+def _degrees(spark: SparkSession, edges: DataFrame, n: int) -> DataFrame:
+    """Out/in-degrees per vertex, one pass each (the Pregel constructor's
+    mxv over (add, right_assign_if) with dense+transpose descriptors,
+    pregel.hpp:380-416)."""
+    out = edges.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("outdegree"))
+    inn = edges.groupBy(F.col(DST).alias(ID)).agg(F.count("*").alias("indegree"))
+    return (
+        spark.range(n)
+        .select(F.col("id").alias(ID))
+        .join(out, on=ID, how="left")
+        .join(inn, on=ID, how="left")
+        .select(
+            ID,
+            F.coalesce("outdegree", F.lit(0)).alias("outdegree"),
+            F.coalesce("indegree", F.lit(0)).alias("indegree"),
+        )
+    )
+
+
+def pregel(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int,
+    program: VertexProgram,
+    combiner: alg.Monoid,
+    state_type: str = "double",
+    msg_type: str = "double",
+    initial_state: object = 0.0,
+    init_use_index: bool = False,
+    data: object = None,
+    max_rounds: int = 0,
+    num_edges: int | None = None,
+    checkpointer=None,
+    checkpoint_every: int = 10,
+    resume_state: DataFrame | None = None,
+    resume_round: int = 0,
+) -> PregelResult:
+    """Run a vertex program to termination (pregel.hpp:650-920)."""
+    nnz = num_edges if num_edges is not None else edges.count()
+    msg_id = combiner.identity
+
+    schema = (
+        f"id long, state {state_type}, out {msg_type}, active boolean, "
+        f"halt boolean, outdegree long, indegree long, _ran boolean"
+    )
+
+    if resume_state is not None:
+        state = resume_state.select(*_STATE_COLS)
+        step = resume_round
+    else:
+        deg = _degrees(spark, edges, n)
+        # init_use_index: state := vertex id (set<use_index>,
+        # descriptors.hpp:167 — the Pregel CC label init,
+        # pregel_connected_components.hpp:136)
+        init_col = F.col(ID) if init_use_index else F.lit(initial_state)
+        state = deg.select(
+            ID,
+            init_col.cast(state_type).alias("state"),
+            F.lit(msg_id).cast(msg_type).alias("out"),
+            F.lit(True).alias("active"),
+            F.lit(False).alias("halt"),
+            "outdegree",
+            "indegree",
+        )
+        step = 0
+    state = state.localCheckpoint(eager=True)
+
+    out_cols = _STATE_COLS + ["_ran"]
+
+    def run_program(ctx: PregelContext):
+        def fn(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    yield pdf.reindex(columns=out_cols)
+                    continue
+                act = pdf["active"].to_numpy(copy=True)
+                before = pdf[["state", "out", "active", "halt"]].copy()
+                out = program(pdf, ctx)
+                # restore inactive rows: program effects apply to active only
+                for col in ("state", "out", "active", "halt"):
+                    out.loc[~act, col] = before.loc[~act, col]
+                yield out[out_cols]
+        return fn
+
+    history: list[dict] = []
+    converged = True
+    while True:
+        # ---- assemble program input: state ⋈ incoming messages --------------
+        if step == 0 and resume_state is None:
+            cur = state.withColumn("incoming", F.lit(msg_id).cast(msg_type))
+        else:
+            out_vec = state.select(ID, F.col("out").alias(VAL))
+            active_ids = state.where("active").select(ID)
+            ring = alg.Semiring(add=combiner, mul=alg.left_assign, one=True)
+            msgs = vxm(out_vec, edges, ring, out_mask=active_ids, strategy="shuffle")
+            cur = state.join(
+                msgs.select(ID, F.col(VAL).alias("_msg")), on=ID, how="left"
+            ).withColumn(
+                "incoming", F.coalesce(F.col("_msg"), F.lit(msg_id).cast(msg_type))
+            ).drop("_msg")
+
+        cur = (
+            cur.withColumn("_ran", F.col("active"))
+            .withColumn("halt", F.lit(False))  # votes reset (pregel.hpp:865-870)
+        )
+        ctx = PregelContext(round=step, num_vertices=n, num_edges=nnz, data=data)
+        new = cur.mapInPandas(run_program(ctx), schema=schema)
+        new = new.localCheckpoint(eager=True)
+        state.unpersist()
+        state = new
+
+        step += 1
+
+        # ---- one stats action: halt vote + active census --------------------
+        stats = state.agg(
+            F.min(F.when(F.col("_ran"), F.col("halt"))).alias("all_halt"),
+            F.sum(F.col("active").cast("long")).alias("n_active"),
+        ).collect()[0]
+        n_active = int(stats["n_active"] or 0)
+        all_halt = bool(stats["all_halt"]) if stats["all_halt"] is not None else False
+        history.append({"round": step, "active": n_active, "all_halt": all_halt})
+
+        if checkpointer is not None and step % checkpoint_every == 0:
+            checkpointer.save(
+                state.select(*_STATE_COLS),
+                superstep=step,
+                metrics={"active": n_active, "all_halt": all_halt},
+            )
+
+        if all_halt:  # everyone who ran voted to halt (pregel.hpp:816-822)
+            break
+        if n_active == 0:  # all vertices inactive (pregel.hpp:840-847)
+            break
+        if max_rounds > 0 and step > max_rounds:  # (pregel.hpp:850-858)
+            converged = False
+            break
+
+    result = state.select(*_STATE_COLS)
+    if checkpointer is not None:
+        checkpointer.save(
+            result, superstep=step, metrics={"rounds": step, "converged": converged},
+            final=True,
+        )
+    return PregelResult(state=result, rounds=step, converged=converged, history=history)

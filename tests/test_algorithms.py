@@ -1,0 +1,64 @@
+"""Smoke tests: label propagation (exact labels), triangle counting
+(exact count), knn (neighbourhood size golden), kcore-style checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from alp_spark.algorithms import knn, label_propagation, triangle_count
+
+from .fixtures import (
+    edges_df,
+    g10_line_hub,
+    g_seeded_labels,
+    g_triangles,
+    vec_df,
+)
+from .oracles import knn_reach, label_propagation as lp_oracle, triangle_count as tri_oracle
+
+
+def test_label_propagation_exact(spark):
+    n, wedges, seeds = g_seeded_labels()
+    W = edges_df(spark, wedges, val=True)
+    l = 4  # first 4 vertices are seeds (FIXTURES.md)
+    y0 = np.zeros(n)
+    for i, v in seeds.items():
+        y0[i] = v
+    y = vec_df(spark, [(i, float(y0[i])) for i in range(n)])
+    res = label_propagation(spark, W, y, n, l)
+    want, want_iters, want_conv = lp_oracle(n, wedges, y0, l)
+    got = np.zeros(n)
+    for r in res.labels.collect():
+        got[r["id"]] = r["val"]
+    np.testing.assert_array_equal(got, want)
+    assert res.converged == want_conv
+    assert res.iterations == want_iters
+
+
+def test_triangle_count_exact(spark):
+    n, edges, expected = g_triangles()
+    E = edges_df(spark, edges)
+    res = triangle_count(E)
+    assert res.total == expected == tri_oracle(n, edges)
+    # per-vertex counts sum to 3 × total
+    s = sum(r["count"] for r in res.per_vertex.collect())
+    assert s == 3 * expected
+
+
+def test_triangle_count_skewed_clique(spark):
+    # K6 both-directions: C(6,3)=20 triangles
+    und = [(i, j) for i in range(6) for j in range(6) if i != j]
+    E = edges_df(spark, und)
+    assert triangle_count(E).total == 20
+
+
+@pytest.mark.parametrize("k", [1, 2, 3])
+def test_knn_neighbourhood_size(spark, k):
+    n, edges = g10_line_hub()
+    E = edges_df(spark, edges)
+    res = knn(spark, E, n, source=0, k=k)
+    want = knn_reach(n, edges, source=0, k=k)
+    got = {r["id"] for r in res.reached.collect()}
+    assert got == set(np.where(want)[0].tolist())
+    assert res.size == int(want.sum())

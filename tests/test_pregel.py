@@ -1,0 +1,79 @@
+"""Pregel runtime + vertex-program smoke tests vs the NumPy oracles
+(analog of the reference's Pregel smoke goldens incl. exact round counts,
+smoketests.sh:293/312)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from alp_spark.algorithms import connected_components, pregel_pagerank
+
+from .fixtures import edges_df, g2_components, g10_line_hub, g497_powerlaw
+from .oracles import pregel_connected_components as cc_oracle
+from .oracles import pregel_pagerank as pr_oracle
+
+
+def state_arr(df, n, col="state", dtype=float):
+    out = np.zeros(n, dtype=dtype)
+    for r in df.collect():
+        out[r["id"]] = r[col]
+    return out
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_pregel_pagerank_matches_oracle(spark, local):
+    n, edges = g10_line_hub()
+    E = edges_df(spark, edges)
+    res = pregel_pagerank(spark, E, n, local_converge=local)
+    want, want_rounds = pr_oracle(n, edges, local_converge=local)
+    got = state_arr(res.state, n)
+    np.testing.assert_allclose(got, want, rtol=1e-12)
+    assert res.rounds == want_rounds  # exact round-count golden (56/47 analog)
+    assert res.converged
+
+
+def test_pregel_pagerank_local_fewer_rounds(spark):
+    # the reference golden pair: local-converge terminates earlier (47 < 56)
+    n, edges = g497_powerlaw(n=97)
+    E = edges_df(spark, edges)
+    glob = pregel_pagerank(spark, E, n, local_converge=False)
+    loc = pregel_pagerank(spark, E, n, local_converge=True)
+    w_g, r_g = pr_oracle(n, edges, local_converge=False)
+    w_l, r_l = pr_oracle(n, edges, local_converge=True)
+    assert glob.rounds == r_g and loc.rounds == r_l
+    np.testing.assert_allclose(state_arr(glob.state, n), w_g, rtol=1e-12)
+    np.testing.assert_allclose(state_arr(loc.state, n), w_l, rtol=1e-12)
+    assert loc.rounds <= glob.rounds
+
+
+def test_connected_components_exact(spark):
+    n, edges = g2_components()
+    E = edges_df(spark, edges)
+    res = connected_components(spark, E, n)
+    want, want_rounds = cc_oracle(n, edges)
+    got = state_arr(res.state, n, dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+    assert res.rounds == want_rounds
+    # two components labelled by their max vertex id
+    assert set(got) == {6, 11}
+
+
+def test_connected_components_with_isolated_vertices(spark):
+    # vertices 5,6 isolated (out/indegree 0) keep their own label
+    edges = [(0, 1), (1, 0), (2, 3), (3, 2), (3, 4), (4, 3)]
+    n = 7
+    E = edges_df(spark, edges)
+    res = connected_components(spark, E, n)
+    want, want_rounds = cc_oracle(n, edges)
+    got = state_arr(res.state, n, dtype=np.int64)
+    np.testing.assert_array_equal(got, want)
+    assert got[5] == 5 and got[6] == 6
+    assert res.rounds == want_rounds
+
+
+def test_max_rounds_failure_flag(spark):
+    n, edges = g2_components()
+    E = edges_df(spark, edges)
+    res = connected_components(spark, E, n, max_rounds=1)
+    assert not res.converged  # reference RC FAILED (pregel.hpp:850-858)
