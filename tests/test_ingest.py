@@ -1,0 +1,72 @@
+"""Ingest tests: byte-identical text extraction, exact edge round-trip,
+contiguous id assignment (FIXTURES.md §1; north-star invariants)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from alp_spark.sources import (
+    assign_contiguous_ids,
+    build_edge_table,
+    extract_text_udf,
+    synthesize_pages,
+)
+from alp_spark.sources.pages import url_of
+
+from .fixtures import edges_df, g10_line_hub
+
+
+def test_text_extraction_byte_identical(spark):
+    n, edges = g10_line_hub()
+    pages = synthesize_pages(spark, n, edges_df(spark, edges)).persist()
+    mismatches = (
+        pages.withColumn("extracted", extract_text_udf(F.col("html")))
+        .where(F.col("extracted") != F.col("text"))
+        .count()
+    )
+    assert mismatches == 0
+    # and byte-level (binary cast) equality, not just string equality
+    bin_mismatch = (
+        pages.withColumn("extracted", extract_text_udf(F.col("html")))
+        .where(
+            F.col("extracted").cast("binary") != F.col("text").cast("binary")
+        )
+        .count()
+    )
+    assert bin_mismatch == 0
+    pages.unpersist()
+
+
+def test_edge_round_trip_exact(spark):
+    n, edges = g10_line_hub()
+    pages = synthesize_pages(spark, n, edges_df(spark, edges))
+    got_edges, id_map = build_edge_table(pages)
+    # id dictionary is url-sorted ⇒ page_id order preserved (urls embed
+    # zero-padded ids), so extracted (src,dst) == fixture edges exactly
+    ids = {r["url"]: r["id"] for r in id_map.collect()}
+    assert ids == {url_of(i): i for i in range(n)}
+    got = {(r["src"], r["dst"]) for r in got_edges.collect()}
+    assert got == set(edges)
+
+
+def test_assign_contiguous_ids_properties(spark):
+    urls = spark.createDataFrame(
+        [(f"u{i % 7:03d}",) for i in range(50)], "url string"
+    )
+    m = assign_contiguous_ids(urls)
+    rows = m.collect()
+    assert len(rows) == 7
+    assert sorted(r["id"] for r in rows) == list(range(7))
+    # deterministic across invocations
+    again = {r["url"]: r["id"] for r in assign_contiguous_ids(urls).collect()}
+    assert again == {r["url"]: r["id"] for r in rows}
+
+
+def test_pages_schema_and_lang(spark):
+    n, edges = g10_line_hub()
+    pages = synthesize_pages(spark, n, edges_df(spark, edges))
+    assert [f.name for f in pages.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang",
+    ]
+    langs = {r["url"]: r["lang"] for r in pages.select("url", "lang").collect()}
+    assert langs[url_of(3)] == "de" and langs[url_of(0)] == "en"
