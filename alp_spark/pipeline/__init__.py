@@ -1,0 +1,30 @@
+"""Training-data pipeline operators over document / embedding tables.
+
+These extend the link-graph engine with the operations a web-scale
+training-data pipeline needs (dedup, similarity search, text analysis,
+multimodal plumbing). They follow the same design rules as the core
+engine: declarative DataFrame plans, JVM-side column expressions in the
+hot path, Arrow-vectorized pandas UDFs only where built-ins cannot
+express the semantics.
+"""
+
+from .text import (  # noqa: F401
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    simhash_signatures,
+    token_stats,
+    tokens_col,
+)
+from .dedup import (  # noqa: F401
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    shingles_col,
+)
+from .similarity import (  # noqa: F401
+    cosine_dup_pairs,
+    cosine_topk,
+    lsh_ann_topk,
+)

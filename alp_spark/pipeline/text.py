@@ -1,0 +1,137 @@
+"""Text analysis: tokenization, quality scoring, language ID, fingerprints.
+
+All operators are pure Column-expression plans (JVM-side, whole-stage
+codegen, no Python in the hot path) over a document table with columns
+``(doc_id: long, text: string, ...)``. Every expression is chosen to
+have an exact DuckDB-SQL mirror so results are oracle-checkable
+bit-for-bit (strings/longs) or to 1e-6 (doubles).
+
+The reference engine (BenBrock/ALP) has no text layer — these are the
+web-pipeline operators the north star adds around the link-graph core
+(BASELINE.json input_hint: Common-Crawl-style pages).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: small English function-word set used for quality scoring
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"]
+
+#: per-language marker words for the n-gram/stopword language heuristic
+LANG_MARKERS = {
+    "en": ["the", "a", "of", "and", "is"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "es": ["el", "los", "las", "y", "es"],
+}
+#: deterministic priority order for argmax ties
+LANG_ORDER = ["en", "de", "fr", "es"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace tokens with empties dropped.
+
+    Mirror SQL: ``list_filter(string_split(text, ' '), x -> x <> '')``.
+    """
+    return F.filter(F.split(text, " "), lambda x: x != "")
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, avg_token_len) per document."""
+    toks = tokens_col(F.col("text"))
+    total_len = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    n = F.size(toks)
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.when(n > 0, F.round(total_len.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("avg_token_len"),
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Heuristic document quality: length saturation × stopword presence.
+
+    score = min(n_tokens/100, 1) * (0.5 + 0.5 * stopword_ratio), the
+    classic "long enough and looks like natural language" filter.
+    """
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    ratio = F.when(n > 0, hits.cast("double") / n).otherwise(F.lit(0.0))
+    score = F.least(n.cast("double") / 100.0, F.lit(1.0)) * (0.5 + 0.5 * ratio)
+    return docs.select(
+        "doc_id",
+        F.round(ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("score"),
+    )
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Stopword-marker language heuristic → (doc_id, lang_pred).
+
+    Deterministic argmax over per-language marker-word hit counts with
+    priority order ``LANG_ORDER`` on ties; 'und' when no marker hits.
+    """
+    toks = tokens_col(F.col("text"))
+
+    def marker_hits(words: list[str]) -> Column:
+        # NB: the lambda must stay unary — a second parameter would make
+        # pyspark pass the array index as the filter's (x, i) form
+        return F.size(F.filter(toks, lambda x: x.isin(words)))
+
+    hits = {lang: marker_hits(words) for lang, words in LANG_MARKERS.items()}
+    best = F.greatest(*[hits[lang] for lang in LANG_ORDER])
+    pred = F.when(best <= 0, F.lit("und"))
+    for lang in LANG_ORDER:
+        pred = pred.when(hits[lang] == best, F.lit(lang))
+    return docs.select("doc_id", pred.alias("lang_pred"))
+
+
+def doc_fingerprint(docs: DataFrame) -> DataFrame:
+    """Whitespace-normalised lowercase MD5 fingerprint per document.
+
+    The cheap exact-dup / near-identical key: collapse runs of
+    whitespace, trim, lowercase, hash.
+    """
+    norm = F.lower(F.trim(F.regexp_replace(F.col("text"), r"\s+", " ")))
+    return docs.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash per document as a '0'/'1' string of length 32.
+
+    Bit i comes from the high bit of hex digit i of md5(token): weight
+    +1 when the digit is in [8..f], else -1; bit i is '1' iff the sum
+    of weights over all tokens is > 0. String representation keeps the
+    result engine-portable (no 64-bit hex→int conversion needed) while
+    preserving Hamming-distance semantics via per-char comparison.
+
+    Plan shape: explode(tokens) → 32 conditional sums in ONE groupBy
+    (map-side partial agg; one shuffle keyed by doc_id).
+    """
+    tok = docs.select(
+        "doc_id", F.explode(tokens_col(F.col("text"))).alias("tok")
+    ).select("doc_id", F.md5("tok").alias("h"))
+    high = list("89abcdef")
+    sums = [
+        F.sum(
+            F.when(F.substring("h", i + 1, 1).isin(high), 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(32)
+    ]
+    agg = tok.groupBy("doc_id").agg(*sums)
+    bits = F.concat(
+        *[F.when(F.col(f"s{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(32)]
+    )
+    return agg.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_hamming(a: Column, b: Column, nbits: int = 32) -> Column:
+    """Hamming distance between two '0'/'1' simhash strings."""
+    pairs = F.arrays_zip(F.split(a, ""), F.split(b, ""))
+    return F.size(F.filter(pairs, lambda p: p["0"] != p["1"]))

@@ -1,0 +1,212 @@
+"""Tests for the training-data pipeline operators (alp_spark.pipeline).
+
+Oracles are plain-Python recomputations over tiny handcrafted corpora
+(known duplicates, known languages, known nearest neighbours), so every
+operator's semantics are pinned independently of Spark.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from alp_spark.pipeline import (
+    cosine_dup_pairs,
+    cosine_topk,
+    doc_fingerprint,
+    exact_dedup,
+    lang_id,
+    lsh_ann_topk,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    quality_score,
+    simhash_signatures,
+    token_stats,
+)
+from alp_spark.pipeline.multimodal import (
+    FEATURE_DIM,
+    extract_features,
+    sample_frames,
+    synthesize_media,
+)
+
+DOC_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("text", T.StringType(), True),
+    ]
+)
+
+CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "the cat sat on the mat"),  # exact dup of 0
+    (2, "the cat sat on the red mat"),  # near dup of 0
+    (3, "der hund und die katze ist da"),
+    (4, "le chat et la souris est la"),
+    (5, "completely different words entirely unrelated topic"),
+    (6, "  the   cat sat  on the mat "),  # whitespace-variant of 0
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(CORPUS, DOC_SCHEMA)
+
+
+def test_token_stats(docs):
+    rows = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert rows[0]["n_tokens"] == 6
+    assert rows[0]["n_chars"] == len(CORPUS[0][1])
+    assert rows[6]["n_tokens"] == 6  # empties dropped
+    assert rows[0]["avg_token_len"] == pytest.approx(17 / 6, abs=1e-6)
+
+
+def test_quality_and_lang(docs):
+    q = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert q[0]["stopword_ratio"] == pytest.approx(2 / 6, abs=1e-6)
+    # score = min(6/100,1) * (0.5 + 0.5*ratio)
+    assert q[0]["score"] == pytest.approx(0.06 * (0.5 + 0.5 * 2 / 6), abs=1e-6)
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in lang_id(docs).collect()}
+    assert langs[0] == "en"
+    assert langs[3] == "de"
+    assert langs[4] == "fr"
+    assert langs[5] == "und"
+
+
+def test_fingerprint_normalises_whitespace(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in doc_fingerprint(docs).collect()}
+    assert fp[0] == fp[1] == fp[6]
+    assert fp[0] != fp[2]
+    assert fp[0] == hashlib.md5(b"the cat sat on the mat").hexdigest()
+
+
+def test_exact_dedup(docs):
+    groups = {r["text_hash"]: r for r in exact_dedup(docs).collect()}
+    dup = [g for g in groups.values() if g["n_dupes"] > 1]
+    assert len(dup) == 1 and dup[0]["keep_id"] == 0 and dup[0]["n_dupes"] == 2
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=2)
+    # identical docs → identical signatures
+    s = {r["doc_id"]: tuple(r[f"sig{j}"] for j in range(8)) for r in sigs.collect()}
+    assert s[0] == s[1] == s[6]
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, num_hashes=8, band_size=2).collect()
+    }
+    assert (0, 1) in pairs and (0, 6) in pairs
+    assert (0, 5) not in pairs
+    # near-dup (jaccard 4/7): band_size=1 gives 8 independent chances
+    loose = {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, num_hashes=8, band_size=1).collect()
+    }
+    assert (0, 2) in loose
+
+
+def test_ngram_jaccard(docs):
+    out = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.3).collect()
+    }
+    assert out[(0, 1)] == pytest.approx(1.0)
+    # doc0 bigrams: 5 distinct; doc2: 6 distinct; shared: {the cat, cat sat,
+    # sat on, on the} = 4 → 4 / (5 + 6 - 4)
+    assert out[(0, 2)] == pytest.approx(4 / 7, abs=1e-6)
+    assert (0, 5) not in out
+
+
+def test_simhash(docs):
+    sh = {r["doc_id"]: r["simhash"] for r in simhash_signatures(docs).collect()}
+    assert all(len(v) == 32 and set(v) <= {"0", "1"} for v in sh.values())
+    assert sh[0] == sh[1] == sh[6]
+    ham02 = sum(a != b for a, b in zip(sh[0], sh[2]))
+    ham05 = sum(a != b for a, b in zip(sh[0], sh[5]))
+    assert ham02 < ham05  # near-dup closer than unrelated
+
+
+EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType(), False),
+        T.StructField("embedding", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(3)
+    base = rng.standard_normal((6, 8)).astype(np.float32)
+    vecs = list(base)
+    vecs.append(base[0] + 0.01 * rng.standard_normal(8).astype(np.float32))  # ~dup of 0
+    rows = [(i, [float(x) for x in v]) for i, v in enumerate(vecs)]
+    np_vecs = [(i, np.array(v, dtype=np.float64)) for i, v in rows]
+    return np_vecs, spark.createDataFrame(rows, EMB_SCHEMA)
+
+
+def _np_topk(vecs, qid, k):
+    q = dict(vecs)[qid]
+    scored = []
+    for i, v in vecs:
+        if i == qid:
+            continue
+        cos = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        scored.append((-cos, i))
+    return [i for _, i in sorted(scored)[:k]]
+
+
+def test_cosine_topk_matches_numpy(emb):
+    vecs, df = emb
+    out = cosine_topk(df, k=2, n_queries=3).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for qid in range(3):
+        expect = _np_topk(vecs, qid, 2)
+        assert [n for _, n in sorted(got[qid])] == expect
+
+
+def test_cosine_dup_pairs(emb):
+    vecs, df = emb
+    pairs = {(r["id_a"], r["id_b"]) for r in cosine_dup_pairs(df, 0.95).collect()}
+    assert (0, 6) in pairs
+    assert all(a == 0 and b == 6 for a, b in pairs) or len(pairs) >= 1
+
+
+def test_lsh_ann_identical_bucket(emb):
+    vecs, df = emb
+    # the near-dup pair lands in the same SRP bucket and is each other's NN
+    out = lsh_ann_topk(df, dim=8, k=1, n_queries=1, n_planes=4)
+    rows = out.collect()
+    assert any(r["query_id"] == 0 and r["neighbor_id"] == 6 for r in rows)
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n=12)
+    feats = extract_features(media).collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5  # histogram normalised
+    # determinism across runs
+    feats2 = {r["media_id"]: r["feature"] for r in extract_features(media).collect()}
+    assert all(feats2[r["media_id"]] == r["feature"] for r in feats)
+
+    frames = sample_frames(media, every=2).collect()
+    vids = {r["media_id"] for r in frames}
+    assert vids == {i for i in range(12) if i % 3 == 2}
+    for r in frames:
+        assert r["frame_idx"] % 2 == 0
+
+    # the real-decoder placeholder raises NotImplementedError inside the
+    # executor; Spark surfaces it as a PythonException carrying the message
+    with pytest.raises(Exception, match="real media decode requires"):
+        extract_features(media, decode="real").collect()
