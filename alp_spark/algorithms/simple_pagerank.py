@@ -135,3 +135,82 @@ def simple_pagerank(
     if checkpointer is not None:
         checkpointer.save(pr, superstep=iters, metrics={"residual": residual}, final=True)
     return PageRankResult(ranks=pr, iterations=iters, residual=residual, residuals=residuals)
+
+
+def simple_pagerank_csr(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int,
+    alpha: float = 0.85,
+    conv: float = 1e-7,
+    max_iter: int = 1000,
+    n_partitions: int | None = None,
+    checkpointer=None,
+    checkpoint_every: int = 5,
+) -> PageRankResult:
+    """Same semantics as :func:`simple_pagerank`, executed over one-time
+    packed CSR edge blocks (north-star physical form; see
+    :mod:`alp_spark.plans.csr_blocks`).
+
+    Per iteration: ONE ``mapInPandas`` pass over the cached blocks (no
+    edge shuffle) + one small collect; all O(n) vector algebra (scale,
+    dangling fold, residual) runs as driver numpy — the analog of ALP's
+    fused ``eWiseLambda`` steps (simple_pagerank.hpp:291-302/402-416).
+    Valid while the rank vector fits driver memory (n ≲ 10^9 at f64);
+    beyond that use :func:`simple_pagerank` (shuffle path).
+    """
+    import numpy as np
+
+    from ..plans.csr_blocks import build_csr_blocks, spmv_dense
+
+    if not 0 < alpha < 1 or max_iter <= 0:
+        raise ValueError("alpha must be in (0,1), max_iter > 0")
+
+    csr = build_csr_blocks(spark, edges, n, n_partitions=n_partitions)
+
+    # out-degrees (row sums of the pattern matrix) in one aggregation
+    deg_pdf = (
+        edges.groupBy(F.col("src").alias(ID))
+        .agg(F.count("*").alias("deg"))
+        .toPandas()
+    )
+    outdeg = np.zeros(n, dtype=np.float64)
+    if len(deg_pdf):
+        outdeg[deg_pdf[ID].to_numpy(dtype=np.int64)] = deg_pdf["deg"].to_numpy()
+    dangling_mask = outdeg == 0.0
+    inv = np.where(dangling_mask, 0.0, alpha / np.where(dangling_mask, 1.0, outdeg))
+
+    pr = np.full(n, 1.0 / n, dtype=np.float64)
+    iters, residual, residuals = 0, float("inf"), []
+    while True:
+        dangling = float(pr[dangling_mask].sum())
+        d = (alpha * dangling + 1.0 - alpha) / n
+        y = spmv_dense(spark, csr, pr * inv, combine="plus")
+        nxt = y + d
+        residual = float(np.abs(nxt - pr).sum())
+        residuals.append(residual)
+        pr = nxt
+        iters += 1
+        if checkpointer is not None and iters % checkpoint_every == 0:
+            _save_np_ranks(spark, checkpointer, pr, iters, residual)
+        if (conv != 0.0 and residual <= conv) or iters >= max_iter:
+            break
+
+    csr.unpersist()
+    ranks = spark.createDataFrame(
+        _np_ranks_pdf(pr), schema=f"{ID} long, {VAL} double"
+    )
+    if checkpointer is not None:
+        checkpointer.save(ranks, superstep=iters, metrics={"residual": residual}, final=True)
+    return PageRankResult(ranks=ranks, iterations=iters, residual=residual, residuals=residuals)
+
+
+def _np_ranks_pdf(pr):
+    import pandas as pd
+
+    return pd.DataFrame({ID: range(len(pr)), VAL: pr})
+
+
+def _save_np_ranks(spark, checkpointer, pr, iters, residual):
+    df = spark.createDataFrame(_np_ranks_pdf(pr), schema=f"{ID} long, {VAL} double")
+    checkpointer.save(df, superstep=iters, metrics={"residual": residual})
