@@ -1,4 +1,4 @@
-"""Hash-partitioned CSR edge blocks + Arrow gather-scatter SpMV.
+"""Range-partitioned CSR edge blocks + Arrow gather-scatter SpMV.
 
 The north star's mandated physical form: the edge table is packed ONCE
 into per-partition CSR blocks (the analog of ALP ingesting the matrix
@@ -7,23 +7,32 @@ into CRS+CCS in the Pregel constructor, interfaces/pregel.hpp:445-451;
 every SpMV superstep is a single ``mapInPandas`` pass over the cached
 blocks — no per-iteration edge shuffle at all.
 
-Partitioning invariant: block ``pid = dst % P`` (gather orientation), so
-each block owns a disjoint set of output rows and block results need no
-cross-block ⊕-combine — the union IS the result. This is ALP's CRS
-row-major gather kernel (reference/blas2.hpp:295) with "row" = dst.
+Physical layout (all chosen by measurement — random memory access is the
+bottleneck, so every per-superstep sort/unique is hoisted to build time):
 
-Within a block the kernel is vectorized numpy: contributions
-``x[src] * w`` scattered into dst accumulators with ``np.bincount``
-(plus-ring) or sort+``reduceat`` (min/max/or rings) — no scipy, no
-Python row loops (input_hint).
+- blocks are **dst-range partitioned**: block ``pid = dst // width`` owns
+  the contiguous output range ``[lo, lo+width)``, so each block emits ONE
+  dense local segment and block results need no keyed combine — the
+  driver concatenates/adds ~P binary blobs instead of collecting n keyed
+  rows. This is ALP's CRS row-major gather kernel
+  (reference/blas2.hpp:295) with "row" = dst.
+- within a block, edges are **sorted by dst at build time** and stored as
+  numpy buffers (src int32 when n < 2^31, segment ``starts`` + distinct
+  ``uids``), so the per-superstep kernel is exactly one random gather
+  ``x[src]`` plus one sequential ``np.<op>.reduceat`` — no per-superstep
+  sort, unique, or Python row loop (input_hint: vectorized only).
+- oversized blocks are **split into ≤``target_edges`` sub-chunks** at
+  build time (hub in-degree ranges produce heavy blocks; the split is the
+  build-time analog of dst-salting, SURVEY.md §4 #12); sub-chunk segments
+  are ⊕-combined on the driver, exact for commutative ⊕.
 
 Scale contract: the frontier/rank vector ``x`` is broadcast dense
 (float64: n=10^9 ⇒ 8 GB — fits a big executor; beyond that the shuffle
 vxm path of :mod:`alp_spark.operators.blas2` takes over; the cost switch
-mirrors reference/blas2.hpp:1104-1145). Edges themselves are never
-re-shuffled after the one-time build, which is what makes
-supersteps/hour scale with executors: each superstep is an embarrassingly
-parallel map over P cached blocks + one small collect.
+mirrors reference/blas2.hpp:1104-1145). Edges are never re-shuffled after
+the one-time build, which is what makes supersteps/hour scale with
+executors: each superstep is an embarrassingly parallel map over the
+cached chunks + one ~P-row collect.
 """
 
 from __future__ import annotations
@@ -39,18 +48,24 @@ from pyspark.sql import functions as F
 from ..containers import DST, ID, SRC, VAL
 
 _BLOCK_SCHEMA = (
-    "pid int, src binary, dst binary, val binary, n_rows long"
+    "pid int, lo long, width int, n_rows long, "
+    "src binary, starts binary, uids binary"
 )
+
+#: max edges per packed chunk — bounds worker memory and evens out hub
+#: blocks (build-time dst-salting)
+DEFAULT_TARGET_EDGES = 2_000_000
 
 
 @dataclass
 class CsrBlocks:
-    """One-time packed edge blocks (cached) + graph metadata."""
+    """One-time packed edge chunks (cached) + graph metadata."""
 
-    blocks: DataFrame  # (pid, src: int64 bytes, dst: int64 bytes, val: f64 bytes|null)
+    blocks: DataFrame  # (pid, lo, width, n_rows, src, starts, uids)
     n: int
     n_partitions: int
     n_edges: int
+    src_dtype: str  # 'int32' | 'int64'
 
     def unpersist(self) -> None:
         self.blocks.unpersist()
@@ -61,33 +76,50 @@ def build_csr_blocks(
     edges: DataFrame,
     n: int,
     n_partitions: int | None = None,
-    weighted: bool = False,
+    target_edges: int = DEFAULT_TARGET_EDGES,
 ) -> CsrBlocks:
-    """Pack ``(src, dst[, val])`` into P dst-partitioned numpy blocks.
+    """Pack ``(src, dst)`` into dst-range-partitioned sorted chunks.
 
-    One shuffle (repartition by ``dst % P``), one ``applyInPandas`` pack,
-    then persist — amortised over every subsequent superstep.
+    One shuffle (repartition by range id) + one ``applyInPandas`` pack,
+    then persist — amortised over every subsequent superstep. Pattern
+    matrices only (the link graph); weighted SpMV stays on the shuffle
+    path.
     """
     P = n_partitions or spark.sparkContext.defaultParallelism
-    has_val = weighted and VAL in edges.columns
+    width = -(-n // P)  # ceil
+    src_dtype = "int32" if n < 2**31 else "int64"
 
-    e = edges.withColumn("pid", F.pmod(F.col(DST), F.lit(P)).cast("int"))
+    e = edges.select(SRC, DST).withColumn(
+        "pid", (F.col(DST) / F.lit(width)).cast("int")
+    )
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        lo = pid * width
         src = pdf[SRC].to_numpy(dtype=np.int64)
         dst = pdf[DST].to_numpy(dtype=np.int64)
-        val = (
-            pdf[VAL].to_numpy(dtype=np.float64).tobytes() if has_val else None
-        )
-        return pd.DataFrame(
-            {
-                "pid": [key[0]],
-                "src": [src.tobytes()],
-                "dst": [dst.tobytes()],
-                "val": [val],
-                "n_rows": [len(pdf)],
-            }
-        )
+        order = np.argsort(dst, kind="stable")  # ONE sort, at build time
+        src = src[order].astype(src_dtype)
+        dst = dst[order]
+        rows = []
+        for c0 in range(0, len(dst), target_edges):
+            c1 = min(c0 + target_edges, len(dst))
+            d = dst[c0:c1]
+            bounds = np.flatnonzero(np.diff(d)) + 1
+            starts = np.concatenate(([0], bounds)).astype(np.int32)
+            uids = (d[starts] - lo).astype(np.int32)
+            rows.append(
+                {
+                    "pid": pid,
+                    "lo": lo,
+                    "width": int(min(width, n - lo)),
+                    "n_rows": c1 - c0,
+                    "src": src[c0:c1].tobytes(),
+                    "starts": starts.tobytes(),
+                    "uids": uids.tobytes(),
+                }
+            )
+        return pd.DataFrame(rows)
 
     blocks = (
         e.repartition(P, "pid")
@@ -95,10 +127,18 @@ def build_csr_blocks(
         .applyInPandas(pack, schema=_BLOCK_SCHEMA)
         .persist()
     )
-    n_edges = int(
-        blocks.agg(F.sum("n_rows").alias("m")).collect()[0]["m"] or 0
+    n_edges = int(blocks.agg(F.sum("n_rows").alias("m")).collect()[0]["m"] or 0)
+    return CsrBlocks(
+        blocks=blocks, n=n, n_partitions=P, n_edges=n_edges, src_dtype=src_dtype
     )
-    return CsrBlocks(blocks=blocks, n=n, n_partitions=P, n_edges=n_edges)
+
+
+_REDUCE = {
+    "plus": (np.add, 0.0),
+    "min": (np.minimum, np.inf),
+    "max": (np.maximum, -np.inf),
+    "or": (np.maximum, 0.0),  # bools as 0/1 doubles
+}
 
 
 def spmv_dense(
@@ -107,59 +147,40 @@ def spmv_dense(
     x: np.ndarray,
     combine: str = "plus",
 ) -> np.ndarray:
-    """y[j] = ⊕_{i→j} x[i] (⊗ w_ij) over the cached blocks; returns a
-    dense numpy vector on the driver (⊕-identity where no in-edges).
+    """y[j] = ⊕_{i→j} x[i] over the cached chunks; returns a dense numpy
+    vector on the driver (⊕-identity where no in-edges).
 
-    ``combine``: 'plus' | 'min' | 'max' | 'or'. Exactly one pass over
-    the cached blocks; hub in-degree skew is absorbed inside numpy (a
-    bincount over a block is O(block nnz) regardless of key skew) — skew
-    only matters for block *balance*, which ``dst % P`` randomises for
-    hash-distributed ids and :func:`build_csr_blocks`'s repartition
-    spreads for adversarial ones.
+    ``combine``: 'plus' | 'min' | 'max' | 'or'. Per superstep: one
+    broadcast of x, one map over cached chunks (gather + reduceat), one
+    ~P-row binary collect, one driver-side segment ⊕.
     """
-    n = csr.n
+    ufunc, ident = _REDUCE[combine]
+    n, src_dtype = csr.n, csr.src_dtype
     bx = spark.sparkContext.broadcast(x)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         xv = bx.value
         for pdf in batches:
-            for _, row in pdf.iterrows():
-                src = np.frombuffer(row["src"], dtype=np.int64)
-                dst = np.frombuffer(row["dst"], dtype=np.int64)
-                contrib = xv[src]
-                if row["val"] is not None:
-                    contrib = contrib * np.frombuffer(row["val"], dtype=np.float64)
-                if combine == "plus":
-                    # local-index remap keeps memory ∝ block nnz, not n
-                    ids, inv = np.unique(dst, return_inverse=True)
-                    out_vals = np.bincount(inv, weights=contrib)
-                else:
-                    order = np.argsort(dst, kind="stable")
-                    ds, cs = dst[order], contrib[order]
-                    bounds = np.flatnonzero(np.diff(ds)) + 1
-                    starts = np.concatenate(([0], bounds))
-                    ids = ds[starts]
-                    if combine == "min":
-                        out_vals = np.minimum.reduceat(cs, starts)
-                    elif combine == "max":
-                        out_vals = np.maximum.reduceat(cs, starts)
-                    elif combine == "or":
-                        out_vals = (
-                            np.maximum.reduceat(cs.astype(bool).astype(np.float64), starts)
-                        )
-                    else:
-                        raise ValueError(f"unknown combine {combine!r}")
-                yield pd.DataFrame({ID: ids, VAL: out_vals})
+            out = {"lo": [], "width": [], "seg": []}
+            for row in pdf.itertuples(index=False):
+                src = np.frombuffer(row.src, dtype=src_dtype)
+                starts = np.frombuffer(row.starts, dtype=np.int32)
+                uids = np.frombuffer(row.uids, dtype=np.int32)
+                contrib = xv[src]  # THE gather — the only random access
+                vals = ufunc.reduceat(contrib, starts)
+                seg = np.full(row.width, ident)
+                seg[uids] = vals  # uids unique within a sorted chunk
+                out["lo"].append(row.lo)
+                out["width"].append(row.width)
+                out["seg"].append(seg.tobytes())
+            yield pd.DataFrame(out)
 
-    rows = csr.blocks.mapInPandas(kernel, schema=f"{ID} long, {VAL} double")
-    pdf = rows.toPandas()
-    y = np.zeros(n, dtype=np.float64)
-    if combine == "min":
-        y[:] = np.inf
-    elif combine == "max":
-        y[:] = -np.inf
-    if len(pdf):
-        # blocks own disjoint dst ranges (pid = dst % P) → plain scatter
-        y[pdf[ID].to_numpy(dtype=np.int64)] = pdf[VAL].to_numpy()
+    rows = csr.blocks.mapInPandas(kernel, schema="lo long, width int, seg binary")
+    y = np.full(n, ident)
+    for r in rows.collect():  # ~P rows of width*8 bytes — Σ ≈ n*8 bytes
+        lo, w = r["lo"], r["width"]
+        seg = np.frombuffer(r["seg"], dtype=np.float64)
+        # sub-chunks of one range ⊕-combine here (exact: ⊕ commutative)
+        y[lo : lo + w] = ufunc(y[lo : lo + w], seg)
     bx.destroy()
     return y
