@@ -58,11 +58,33 @@ def simple_pagerank(
     checkpoint_every: int = 5,
     initial: DataFrame | None = None,
     start_iteration: int = 0,
+    strategy: str = "auto",
 ) -> PageRankResult:
     """Run PageRank to convergence; defaults mirror the reference
-    (α=0.85, conv=1e-7, max=1000 — simple_pagerank.hpp:140-142)."""
+    (α=0.85, conv=1e-7, max=1000 — simple_pagerank.hpp:140-142).
+
+    ``strategy``: vxm join strategy per iteration. 'auto' broadcasts the
+    (always dense) rank vector when it fits executor memory
+    (n ≤ 16M ≈ 256MB), so the edge table — persisted here once — is
+    never re-shuffled; larger graphs fall back to the shuffle hash join.
+    The analog of the reference's CRS/CCS loop-size strategy choice
+    (reference/blas2.hpp:1104-1145).
+    """
     if not 0 < alpha < 1 or max_iter <= 0:
         raise ValueError("alpha must be in (0,1), max_iter > 0")  # ILLEGAL checks
+
+    if strategy == "auto":
+        strategy = "broadcast" if n <= 16_000_000 else "shuffle"
+    we_persisted = False
+    if not edges.storageLevel.useMemory:
+        if strategy == "broadcast":
+            # pre-partition by dst ONCE: the broadcast hash join preserves
+            # this partitioning, so every iteration's groupBy(dst) runs
+            # exchange-free — zero per-iteration edge shuffle
+            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            edges = edges.repartition(p, "dst")
+        edges = edges.persist()
+        we_persisted = True
 
     # --- prelude: inverted scaled out-degrees -------------------------------
     ones = set_dense(spark, n, 1.0)
@@ -97,7 +119,7 @@ def simple_pagerank(
             pr.join(inv_small if inv_small is not None else inv, on=ID, how="inner")
             .select(F.col(ID), (F.col(VAL) * F.col("inv")).alias(VAL))
         )
-        new = vxm(scaled, edges, alg.PLUS_TIMES, strategy="shuffle")
+        new = vxm(scaled, edges, alg.PLUS_TIMES, strategy=strategy)
         nxt = (
             pr.alias("p")
             .join(new.alias("m"), on=ID, how="left")
@@ -132,6 +154,8 @@ def simple_pagerank(
             break
 
     inv.unpersist()
+    if we_persisted:
+        edges.unpersist()
     if checkpointer is not None:
         checkpointer.save(pr, superstep=iters, metrics={"residual": residual}, final=True)
     return PageRankResult(ranks=pr, iterations=iters, residual=residual, residuals=residuals)

@@ -63,7 +63,9 @@ def gen_graph(path: str, n: int, avg_deg: int) -> None:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
-    ap.add_argument("--path", choices=["csr", "shuffle"], default="csr")
+    ap.add_argument(
+        "--path", choices=["csr", "shuffle", "broadcast"], default="csr"
+    )
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--n", type=int, default=DEFAULT_N)
     ap.add_argument("--avg-deg", type=int, default=DEFAULT_AVG_DEG)
@@ -115,7 +117,9 @@ def main() -> None:
 
         m = edges.count()
         t0 = time.monotonic()
-        res = simple_pagerank(spark, edges, n, conv=0.0, max_iter=iters)
+        res = simple_pagerank(
+            spark, edges, n, conv=0.0, max_iter=iters, strategy=args.path
+        )
         wall = time.monotonic() - t0
         build_sec = 0.0
         assert res.iterations == iters
