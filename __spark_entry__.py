@@ -27,7 +27,8 @@ from alp_spark.algorithms.connected_components import connected_components
 from alp_spark.algorithms.label_propagation import label_propagation
 from alp_spark.algorithms.mpv import knn, mpv
 from alp_spark.algorithms.pregel_pagerank import pregel_pagerank
-from alp_spark.algorithms.simple_pagerank import simple_pagerank
+from alp_spark.algorithms.kcore import kcore_decomposition
+from alp_spark.algorithms.simple_pagerank import simple_pagerank, simple_pagerank_csr
 from alp_spark.algorithms.triangles import triangle_count
 from alp_spark.containers import DST, ID, SRC, VAL, set_dense
 from alp_spark.operators.blas1 import e_wise_apply
@@ -168,6 +169,24 @@ def q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, _edges(spark, sf_dir), N_V, alpha=0.85, conv=0.0, max_iter=PR_ITERS
     )
     return res.ranks.select(ID, F.round(VAL, 6).alias("rank"))
+
+
+def q_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same PageRank semantics on the CSR-block physical path
+    (plans/csr_blocks.py — the north star's applyInPandas gather-scatter
+    form); must hash-match the same SQL oracle as pagerank5."""
+    res = simple_pagerank_csr(
+        spark, _edges(spark, sf_dir), N_V, alpha=0.85, conv=0.0, max_iter=PR_ITERS
+    )
+    return res.ranks.select(ID, F.round(VAL, 6).alias("rank"))
+
+
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core coreness by algebraic peeling
+    (kcore_decomposition.hpp:141-296, Li et al. HPEC'21) — iterative
+    fixpoint, rows-only check."""
+    res = kcore_decomposition(spark, _sym_edges(spark, sf_dir), N_V)
+    return res.cores.select(ID, F.col("core").alias("coreness"))
 
 
 def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -332,6 +351,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees_intersection": q_degrees_intersection,
         "dot_degrees": q_dot_degrees,
         "pagerank5": q_pagerank5,
+        "pagerank5_csr": q_pagerank5_csr,
+        "kcore": q_kcore,
         "connected_components": q_connected_components,
         "triangle_count": q_triangle_count,
         "khop2": q_khop2,
@@ -493,6 +514,7 @@ o AS (SELECT src AS id, count(*) AS v FROM edges GROUP BY src),
 i AS (SELECT dst AS id, count(*) AS v FROM edges GROUP BY dst)
 SELECT sum(o.v * i.v)::DOUBLE AS dot_val FROM o JOIN i ON o.id = i.id""",
         "pagerank5": _pagerank5_sql(),
+        "pagerank5_csr": _pagerank5_sql(),
         "connected_components": f"""WITH RECURSIVE {E_SQL},
 {SYM_SQL},
 r(id, reach) AS (

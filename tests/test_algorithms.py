@@ -62,3 +62,32 @@ def test_knn_neighbourhood_size(spark, k):
     got = {r["id"] for r in res.reached.collect()}
     assert got == set(np.where(want)[0].tolist())
     assert res.size == int(want.sum())
+
+
+def test_kcore_decomposition(spark):
+    from alp_spark.algorithms.kcore import kcore_decomposition
+
+    from .fixtures import g_triangles
+
+    n, edges, _ = g_triangles()
+    sym = sorted({(a, b) for a, b in edges} | {(b, a) for a, b in edges})
+    E = edges_df(spark, sym)
+    res = kcore_decomposition(spark, E, n)
+    got = {r["id"]: r["core"] for r in res.cores.collect()}
+    from .oracles import kcore as kcore_oracle
+    want = kcore_oracle(n, sym)
+    assert [got[i] for i in range(n)] == list(want)
+
+
+def test_kcore_two_components(spark):
+    from alp_spark.algorithms.kcore import kcore_decomposition
+
+    from .fixtures import g2_components
+
+    n, edges = g2_components()  # already symmetric
+    E = edges_df(spark, edges)
+    res = kcore_decomposition(spark, E, n)
+    got = {r["id"]: r["core"] for r in res.cores.collect()}
+    from .oracles import kcore as kcore_oracle
+    want = kcore_oracle(n, edges)
+    assert [got[i] for i in range(n)] == list(want)
