@@ -1,43 +1,63 @@
-"""Range-partitioned CSR edge blocks + Arrow gather-scatter SpMV.
+"""Range-partitioned CSR edge blocks + mmap gather-scatter SpMV.
 
 The north star's mandated physical form: the edge table is packed ONCE
 into per-partition CSR blocks (the analog of ALP ingesting the matrix
 into CRS+CCS in the Pregel constructor, interfaces/pregel.hpp:445-451;
 ``Compressed_Storage`` reference/compressed_storage.hpp:48-77), then
-every SpMV superstep is a single ``mapInPandas`` pass over the cached
-blocks — no per-iteration edge shuffle at all.
+every SpMV superstep is a single ``mapInPandas`` pass over a tiny
+block-metadata DataFrame — no per-iteration edge shuffle OR edge
+transfer at all.
 
-Physical layout (all chosen by measurement — random memory access is the
-bottleneck, so every per-superstep sort/unique is hoisted to build time):
+Physical layout (chosen by measurement; see BASELINE.md):
 
 - blocks are **dst-range partitioned**: block ``pid = dst // width`` owns
   the contiguous output range ``[lo, lo+width)``, so each block emits ONE
   dense local segment and block results need no keyed combine — the
-  driver concatenates/adds ~P binary blobs instead of collecting n keyed
-  rows. This is ALP's CRS row-major gather kernel
-  (reference/blas2.hpp:295) with "row" = dst.
-- within a block, edges are **sorted by dst at build time** and stored as
-  numpy buffers (src int32 when n < 2^31, segment ``starts`` + distinct
-  ``uids``), so the per-superstep kernel is exactly one random gather
-  ``x[src]`` plus one sequential ``np.<op>.reduceat`` — no per-superstep
-  sort, unique, or Python row loop (input_hint: vectorized only).
+  driver ⊕-combines ~P binary blobs instead of collecting n keyed rows.
+  This is ALP's CRS row-major gather kernel (reference/blas2.hpp:295)
+  with "row" = dst.
+- within a block, edges are **sorted by src at build time** (layout
+  'src', the plus-ring default): the per-superstep kernel is one
+  *ascending* gather ``x[src]`` — sequential, bandwidth-bound, so it
+  scales with cores instead of saturating memory latency like a random
+  gather — plus one ``np.bincount`` scatter into the ≤1MB L2-resident
+  block segment. Layout 'dst' (sorted by dst + ``reduceat``) serves the
+  min/max/or rings, which have no weighted-bincount equivalent. No
+  per-superstep sort/unique/Python row loop (input_hint: vectorized
+  only).
 - oversized blocks are **split into ≤``target_edges`` sub-chunks** at
-  build time (hub in-degree ranges produce heavy blocks; the split is the
-  build-time analog of dst-salting, SURVEY.md §4 #12); sub-chunk segments
-  are ⊕-combined on the driver, exact for commutative ⊕.
+  build time (hub in-degree ranges produce heavy blocks; the split is
+  the build-time analog of dst-salting, SURVEY.md §4 #12); sub-chunk
+  segments ⊕-combine on the driver, exact for commutative ⊕.
+- block arrays are **materialised as .npy files and cached inside the
+  long-lived Python worker processes** (module-global dict, loaded on
+  first touch): shipping the packed edges through Arrow or re-faulting
+  an mmap costs ~4B+ per edge per superstep (both measured slower here),
+  while the process cache makes every superstep after a worker's first
+  touch operate on already-resident pages. Workers are reused
+  (``spark.python.worker.reuse`` default); a scheduling miss just
+  reloads that chunk's file once. The frontier vector ``x`` is re-read
+  per superstep from a driver-written .npy (one sequential 8n-byte read
+  per worker); on a real multi-executor cluster pass
+  ``x_transport='broadcast'`` to use TorrentBroadcast and put
+  ``cache_dir`` on executor-local or shared storage.
 
-Scale contract: the frontier/rank vector ``x`` is broadcast dense
-(float64: n=10^9 ⇒ 8 GB — fits a big executor; beyond that the shuffle
-vxm path of :mod:`alp_spark.operators.blas2` takes over; the cost switch
-mirrors reference/blas2.hpp:1104-1145). Edges are never re-shuffled after
-the one-time build, which is what makes supersteps/hour scale with
-executors: each superstep is an embarrassingly parallel map over the
-cached chunks + one ~P-row collect.
+Scale contract: the frontier vector is dense (float64: n=10^9 ⇒ 8 GB —
+fits a big executor; beyond that the shuffle vxm path of
+:mod:`alp_spark.operators.blas2` takes over; the cost switch mirrors
+reference/blas2.hpp:1104-1145). Edges are written once and only ever
+page-faulted in, which is what makes supersteps/hour scale with
+executors: each superstep is an embarrassingly parallel map over cached
+chunks + one ~P-row collect.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+import os
+import shutil
+import tempfile
+import uuid
+from dataclasses import dataclass, field
 from typing import Iterator
 
 import numpy as np
@@ -45,12 +65,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..containers import DST, ID, SRC, VAL
+from ..containers import DST, SRC
 
-_BLOCK_SCHEMA = (
-    "pid int, lo long, width int, n_rows long, "
-    "src binary, starts binary, uids binary"
-)
+_META_SCHEMA = "pid int, chunk int, lo long, width int, n_rows long, path string"
 
 #: max edges per packed chunk — bounds worker memory and evens out hub
 #: blocks (build-time dst-salting)
@@ -59,16 +76,21 @@ DEFAULT_TARGET_EDGES = 2_000_000
 
 @dataclass
 class CsrBlocks:
-    """One-time packed edge chunks (cached) + graph metadata."""
+    """One-time packed edge chunks (on local disk, mmap'd) + metadata."""
 
-    blocks: DataFrame  # (pid, lo, width, n_rows, src, starts, uids)
+    meta: pd.DataFrame  # (pid, chunk, lo, width, n_rows, path) — tiny
     n: int
     n_partitions: int
     n_edges: int
     src_dtype: str  # 'int32' | 'int64'
+    cache_dir: str
+    layout: str = "src"  # 'src' (bincount, plus) | 'dst' (reduceat, any ⊕)
+    _owns_dir: bool = field(default=False, repr=False)
 
     def unpersist(self) -> None:
-        self.blocks.unpersist()
+        """Delete the packed block files."""
+        if self._owns_dir:
+            shutil.rmtree(self.cache_dir, ignore_errors=True)
 
 
 def build_csr_blocks(
@@ -77,59 +99,88 @@ def build_csr_blocks(
     n: int,
     n_partitions: int | None = None,
     target_edges: int = DEFAULT_TARGET_EDGES,
+    cache_dir: str | None = None,
+    layout: str = "src",
 ) -> CsrBlocks:
-    """Pack ``(src, dst)`` into dst-range-partitioned sorted chunks.
+    """Pack ``(src, dst)`` into dst-range-partitioned sorted chunk files.
 
-    One shuffle (repartition by range id) + one ``applyInPandas`` pack,
-    then persist — amortised over every subsequent superstep. Pattern
-    matrices only (the link graph); weighted SpMV stays on the shuffle
-    path.
+    One shuffle (repartition by range id) + one ``applyInPandas`` pack
+    writing ``.npy`` files, then a tiny metadata collect — amortised over
+    every subsequent superstep. Pattern matrices only (the link graph);
+    weighted SpMV stays on the shuffle path.
     """
     P = n_partitions or spark.sparkContext.defaultParallelism
-    width = -(-n // P)  # ceil
+    # output ranges are sized so one range holds ≈ target_edges edges:
+    # segments stay L1/L2-resident for the bincount scatter, sub-chunk
+    # duplication (hub ranges) stays rare, and the per-superstep collect
+    # volume stays ≈ n*8 bytes regardless of how many chunks exist
+    m = edges.count()
+    n_pids = max(P, -(-m // target_edges))
+    width = -(-n // n_pids)  # ceil
     src_dtype = "int32" if n < 2**31 else "int64"
+    owns = cache_dir is None
+    if owns:
+        cache_dir = tempfile.mkdtemp(prefix="alp_csr_")
+    os.makedirs(cache_dir, exist_ok=True)
+    build_id = uuid.uuid4().hex[:8]
 
     e = edges.select(SRC, DST).withColumn(
         "pid", (F.col(DST) / F.lit(width)).cast("int")
     )
 
     def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        os.makedirs(cache_dir, exist_ok=True)  # executor-local on clusters
         pid = int(key[0])
         lo = pid * width
         src = pdf[SRC].to_numpy(dtype=np.int64)
         dst = pdf[DST].to_numpy(dtype=np.int64)
-        order = np.argsort(dst, kind="stable")  # ONE sort, at build time
+        # ONE sort, at build time (never per superstep)
+        order = np.argsort(src if layout == "src" else dst, kind="stable")
         src = src[order].astype(src_dtype)
         dst = dst[order]
         rows = []
-        for c0 in range(0, len(dst), target_edges):
+        for ci, c0 in enumerate(range(0, len(dst), target_edges)):
             c1 = min(c0 + target_edges, len(dst))
-            d = dst[c0:c1]
-            bounds = np.flatnonzero(np.diff(d)) + 1
-            starts = np.concatenate(([0], bounds)).astype(np.int32)
-            uids = (d[starts] - lo).astype(np.int32)
+            base = os.path.join(cache_dir, f"{build_id}_{pid}_{ci}")
+            np.save(base + ".src.npy", src[c0:c1])
+            if layout == "src":
+                np.save(
+                    base + ".dstoff.npy", (dst[c0:c1] - lo).astype(np.int32)
+                )
+            else:
+                d = dst[c0:c1]
+                bounds = np.flatnonzero(np.diff(d)) + 1
+                starts = np.concatenate(([0], bounds)).astype(np.int32)
+                np.save(base + ".starts.npy", starts)
+                np.save(base + ".uids.npy", (d[starts] - lo).astype(np.int32))
             rows.append(
                 {
                     "pid": pid,
+                    "chunk": ci,
                     "lo": lo,
                     "width": int(min(width, n - lo)),
                     "n_rows": c1 - c0,
-                    "src": src[c0:c1].tobytes(),
-                    "starts": starts.tobytes(),
-                    "uids": uids.tobytes(),
+                    "path": base,
                 }
             )
         return pd.DataFrame(rows)
 
-    blocks = (
-        e.repartition(P, "pid")
+    meta = (
+        e.repartition(n_pids, "pid")
         .groupBy("pid")
-        .applyInPandas(pack, schema=_BLOCK_SCHEMA)
-        .persist()
+        .applyInPandas(pack, schema=_META_SCHEMA)
+        .toPandas()
     )
-    n_edges = int(blocks.agg(F.sum("n_rows").alias("m")).collect()[0]["m"] or 0)
+    n_edges = int(meta["n_rows"].sum()) if len(meta) else 0
     return CsrBlocks(
-        blocks=blocks, n=n, n_partitions=P, n_edges=n_edges, src_dtype=src_dtype
+        meta=meta,
+        n=n,
+        n_partitions=P,
+        n_edges=n_edges,
+        src_dtype=src_dtype,
+        cache_dir=cache_dir,
+        layout=layout,
+        _owns_dir=owns,
     )
 
 
@@ -140,47 +191,111 @@ _REDUCE = {
     "or": (np.maximum, 0.0),  # bools as 0/1 doubles
 }
 
+#: per-worker-process chunk cache: path -> array tuple; lives in the
+#: reused pyspark daemon workers so chunk pages are faulted in once per
+#: worker, not once per superstep. Tasks have no worker affinity, so a
+#: worker can accumulate chunks over supersteps — bounded by FIFO
+#: eviction (reload is just a page-cached file read).
+_CHUNK_CACHE: dict = {}
+_CACHE_MAX_BYTES = 8 << 30
+_cache_bytes = 0
+
+
+def _load_chunk(path: str, layout: str):
+    global _cache_bytes
+    arrs = _CHUNK_CACHE.get(path)
+    if arrs is None:
+        if layout == "src":
+            arrs = (
+                np.load(path + ".src.npy"),
+                np.load(path + ".dstoff.npy"),
+            )
+        else:
+            arrs = (
+                np.load(path + ".src.npy"),
+                np.load(path + ".starts.npy"),
+                np.load(path + ".uids.npy"),
+            )
+        _cache_bytes += sum(a.nbytes for a in arrs)
+        while _cache_bytes > _CACHE_MAX_BYTES and _CHUNK_CACHE:
+            old = _CHUNK_CACHE.pop(next(iter(_CHUNK_CACHE)))  # FIFO
+            _cache_bytes -= sum(a.nbytes for a in old)
+        _CHUNK_CACHE[path] = arrs
+    return arrs
+
 
 def spmv_dense(
     spark: SparkSession,
     csr: CsrBlocks,
     x: np.ndarray,
     combine: str = "plus",
+    x_transport: str = "file",
 ) -> np.ndarray:
-    """y[j] = ⊕_{i→j} x[i] over the cached chunks; returns a dense numpy
+    """y[j] = ⊕_{i→j} x[i] over the packed chunks; returns a dense numpy
     vector on the driver (⊕-identity where no in-edges).
 
-    ``combine``: 'plus' | 'min' | 'max' | 'or'. Per superstep: one
-    broadcast of x, one map over cached chunks (gather + reduceat), one
-    ~P-row binary collect, one driver-side segment ⊕.
+    ``combine``: 'plus' | 'min' | 'max' | 'or' ('plus' needs layout
+    'src', the rest layout 'dst'). ``x_transport``: 'file' re-reads a
+    driver-written .npy per worker (local mode); 'broadcast' uses
+    TorrentBroadcast (multi-executor clusters).
+
+    Per superstep: one x hand-off, one round-robin map over the chunk
+    metadata rows (each task computes from its process-cached chunk
+    arrays), one ~P-row binary collect, one driver-side segment ⊕.
     """
     ufunc, ident = _REDUCE[combine]
-    n, src_dtype = csr.n, csr.src_dtype
-    bx = spark.sparkContext.broadcast(x)
+    n, layout = csr.n, csr.layout
+    if layout == "src" and combine != "plus":
+        raise ValueError(
+            "layout 'src' (bincount) only supports the plus ring; "
+            "build with layout='dst' for min/max/or"
+        )
+    if len(csr.meta) == 0:  # empty matrix → identity vector
+        return np.full(n, ident)
+
+    bx = None
+    x_path = None
+    if x_transport == "file":
+        x_path = os.path.join(csr.cache_dir, f"x_{uuid.uuid4().hex[:8]}.npy")
+        np.save(x_path, np.ascontiguousarray(x, dtype=np.float64))
+    else:
+        bx = spark.sparkContext.broadcast(x)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        xv = bx.value
+        xv = np.load(x_path) if x_path is not None else bx.value
         for pdf in batches:
             out = {"lo": [], "width": [], "seg": []}
             for row in pdf.itertuples(index=False):
-                src = np.frombuffer(row.src, dtype=src_dtype)
-                starts = np.frombuffer(row.starts, dtype=np.int32)
-                uids = np.frombuffer(row.uids, dtype=np.int32)
-                contrib = xv[src]  # THE gather — the only random access
-                vals = ufunc.reduceat(contrib, starts)
-                seg = np.full(row.width, ident)
-                seg[uids] = vals  # uids unique within a sorted chunk
+                if layout == "src":
+                    src, dstoff = _load_chunk(row.path, layout)
+                    contrib = xv[src]  # ascending src → streaming read
+                    # L2-resident scatter: width*8B accumulator
+                    seg = np.bincount(
+                        dstoff, weights=contrib, minlength=row.width
+                    )
+                else:
+                    src, starts, uids = _load_chunk(row.path, layout)
+                    contrib = xv[src]
+                    vals = ufunc.reduceat(contrib, starts)
+                    seg = np.full(row.width, ident)
+                    seg[uids] = vals  # uids unique within a sorted chunk
                 out["lo"].append(row.lo)
                 out["width"].append(row.width)
                 out["seg"].append(seg.tobytes())
             yield pd.DataFrame(out)
 
-    rows = csr.blocks.mapInPandas(kernel, schema="lo long, width int, seg binary")
+    # round-robin chunk distribution: ≤target_edges per chunk, so tasks
+    # balance regardless of hub-range weight (no hash-collision stragglers)
+    meta_df = spark.createDataFrame(csr.meta).repartition(csr.n_partitions)
+    rows = meta_df.mapInPandas(kernel, schema="lo long, width int, seg binary")
     y = np.full(n, ident)
     for r in rows.collect():  # ~P rows of width*8 bytes — Σ ≈ n*8 bytes
         lo, w = r["lo"], r["width"]
         seg = np.frombuffer(r["seg"], dtype=np.float64)
         # sub-chunks of one range ⊕-combine here (exact: ⊕ commutative)
         y[lo : lo + w] = ufunc(y[lo : lo + w], seg)
-    bx.destroy()
+    if bx is not None:
+        bx.destroy()
+    if x_path is not None:
+        os.unlink(x_path)
     return y

@@ -90,7 +90,7 @@ def test_csr_spmv_plus_matches_numpy(spark):
 def test_csr_spmv_minmax(spark, combine, red):
     n, edges = g10_line_hub()
     E = edges_df(spark, edges)
-    csr = build_csr_blocks(spark, E, n, n_partitions=2)
+    csr = build_csr_blocks(spark, E, n, n_partitions=2, layout="dst")
     rng = np.random.default_rng(SEED + 1)
     x = rng.random(n)
     y = spmv_dense(spark, csr, x, combine=combine)
