@@ -142,3 +142,68 @@ def unzip_vector(z: DataFrame) -> tuple[DataFrame, DataFrame]:
         z.select(F.col(ID), F.col(f"{VAL}.first").alias(VAL)),
         z.select(F.col(ID), F.col(f"{VAL}.second").alias(VAL)),
     )
+
+
+def e_wise_add(
+    z: DataFrame, x: DataFrame, y: DataFrame, monoid: Monoid
+) -> DataFrame:
+    """z ⊕= x ⊕ y under union (eWiseAdd, base/blas1.hpp:1912-2695):
+    the monoid-form apply folded into the accumulator."""
+    return fold_vector(z, e_wise_apply(x, y, monoid.op, monoid=monoid), monoid)
+
+
+def e_wise_mul(
+    z: DataFrame, x: DataFrame, y: DataFrame, add_monoid: Monoid, mul_op: BinOp
+) -> DataFrame:
+    """z ⊕= x ⊗ y under intersection (eWiseMul, base/blas1.hpp:2794-3496)."""
+    return fold_vector(z, e_wise_apply(x, y, mul_op), add_monoid)
+
+
+def e_wise_mul_add(
+    z: DataFrame,
+    a: DataFrame,
+    x: DataFrame,
+    y: DataFrame,
+    add_monoid: Monoid,
+    mul_op: BinOp,
+) -> DataFrame:
+    """z = a⊗x ⊕ y fused (eWiseMulAdd FMA family,
+    reference/blas1.hpp eWiseMulAdd_dispatch). Expressed as one select
+    after the joins — Catalyst fuses the arithmetic into one codegen
+    stage, the analog of the reference's fused kernel."""
+    ax = e_wise_apply(a, x, mul_op)
+    return e_wise_apply(
+        e_wise_apply(ax, y, add_monoid.op, monoid=add_monoid),
+        z,
+        add_monoid.op,
+        monoid=add_monoid,
+    )
+
+
+def e_wise_lambda(
+    vectors: list[DataFrame],
+    fn,
+    schema: str = "id long, val double",
+    names: list[str] | None = None,
+) -> DataFrame:
+    """Arbitrary vectorized lambda over id-aligned entries of several
+    vectors (eWiseLambda, base/blas1.hpp:3746 — the UDF escape hatch the
+    reference uses for the PageRank fused steps,
+    simple_pagerank.hpp:241-249/291-302/402-416).
+
+    ``fn(pandas.DataFrame) -> pandas.DataFrame`` runs Arrow-vectorized
+    via ``mapInPandas`` (input_hint: no per-row Python). Vectors join on
+    the intersection of their ids; columns are named ``v0..vk`` or
+    ``names``.
+    """
+    names = names or [f"v{i}" for i in range(len(vectors))]
+    joined = None
+    for df, name in zip(vectors, names):
+        cur = df.select(F.col(ID), F.col(VAL).alias(name))
+        joined = cur if joined is None else joined.join(cur, on=ID, how="inner")
+
+    def run(batches):
+        for pdf in batches:
+            yield fn(pdf)
+
+    return joined.mapInPandas(run, schema=schema)

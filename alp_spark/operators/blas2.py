@@ -142,3 +142,31 @@ def mxv(
         strategy=strategy,
         frontier_nnz=frontier_nnz,
     )
+
+
+def e_wise_lambda_matrix(
+    A: DataFrame,
+    fn,
+    row_vec: DataFrame | None = None,
+    col_vec: DataFrame | None = None,
+    schema: str = "src long, dst long, val double",
+):
+    """Vectorized lambda over every nonzero (i, j, a_ij) with row/col-
+    aligned vector access (eWiseLambda over matrices, base/blas2.hpp:440).
+
+    ``fn(pandas.DataFrame) -> pandas.DataFrame`` receives columns
+    ``src, dst[, val][, row_val][, col_val]`` Arrow-batched via
+    ``mapInPandas`` (input_hint: no per-row Python)."""
+    j = A
+    if row_vec is not None:
+        rv = row_vec.select(F.col(ID).alias(SRC), F.col(VAL).alias("row_val"))
+        j = j.join(F.broadcast(rv), on=SRC, how="inner")
+    if col_vec is not None:
+        cv = col_vec.select(F.col(ID).alias(DST), F.col(VAL).alias("col_val"))
+        j = j.join(F.broadcast(cv), on=DST, how="inner")
+
+    def run(batches):
+        for pdf in batches:
+            yield fn(pdf)
+
+    return j.mapInPandas(run, schema=schema)

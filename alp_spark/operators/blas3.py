@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..algebra import BinOp, Monoid, Semiring
-from ..containers import DST, SRC, VAL
+from ..containers import DST, ID, SRC, VAL
 
 
 def mxm(
@@ -105,3 +105,36 @@ def e_wise_apply_matrix(
             monoid.op(F.coalesce(a_val, ident), F.coalesce(b_val, ident)).alias(VAL),
         )
     )
+
+
+def matrix_zip(
+    x: DataFrame, y: DataFrame, z: DataFrame | None = None
+) -> DataFrame:
+    """Build a matrix from index/value vectors (zip(A, x, y[, z]),
+    base/blas3.hpp:181/223; impl matrix_zip_generic
+    reference/blas3.hpp:464): A[x[i], y[i]] = z[i] (pattern if z absent).
+    Vectors align on their shared ids (intersection)."""
+    xx = x.select(F.col(ID), F.col(VAL).alias("_r"))
+    yy = y.select(F.col(ID), F.col(VAL).alias("_c"))
+    j = xx.join(yy, on=ID, how="inner")
+    if z is None:
+        return j.select(F.col("_r").alias(SRC), F.col("_c").alias(DST))
+    zz = z.select(F.col(ID), F.col(VAL).alias("_v"))
+    return j.join(zz, on=ID, how="inner").select(
+        F.col("_r").alias(SRC), F.col("_c").alias(DST), F.col("_v").alias(VAL)
+    )
+
+
+def matrix_set(A: DataFrame, mask: DataFrame, value) -> DataFrame:
+    """grb::set matrix←masked value (reference/io.hpp:974/1080/1117):
+    overwrite the values of nonzeroes selected by a structural edge mask."""
+    hit = A.join(mask.select(SRC, DST), on=[SRC, DST], how="left_semi").select(
+        SRC, DST, F.lit(value).alias(VAL)
+    )
+    rest_cols = [SRC, DST] + ([VAL] if VAL in A.columns else [])
+    rest = A.select(*rest_cols).join(
+        mask.select(SRC, DST), on=[SRC, DST], how="left_anti"
+    )
+    if VAL not in A.columns:
+        rest = rest.withColumn(VAL, F.lit(None).cast(hit.schema[VAL].dataType))
+    return hit.unionByName(rest)

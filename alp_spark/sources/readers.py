@@ -1,0 +1,76 @@
+"""Graph file readers: MatrixMarket and SNAP edge lists.
+
+The reference's only file sources (SURVEY.md §2.3): the MatrixMarket
+parser (utils/parser/MatrixFileReaderBase.hpp:45,95-155 — header modes
+pattern/symmetric/general) and the SNAP-style whitespace edge list read
+by the parallel hpparser (src/graphblas/utils/hpparser.c:211-456). Our
+production source is parquet; these exist to import standard test
+graphs. Both parse distributed via spark.read.text + Column expressions
+(no driver-side file scan; a 100GB edge list parses in parallel).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..containers import DST, SRC, VAL
+
+
+def read_snap_edges(spark: SparkSession, path: str) -> DataFrame:
+    """Whitespace-separated ``src dst`` lines, ``#`` comments — the SNAP
+    format consumed by the reference's hpparser. 0-based ids kept as-is."""
+    lines = spark.read.text(path)
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    return (
+        lines.where(~F.col("value").startswith("#") & (F.trim("value") != ""))
+        .select(
+            parts.getItem(0).cast("long").alias(SRC),
+            parts.getItem(1).cast("long").alias(DST),
+        )
+    )
+
+
+def read_matrix_market(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, int, int]:
+    """MatrixMarket coordinate format → (edges, nrows, ncols).
+
+    Handles the header modes the reference parser recognises
+    (MatrixFileReaderBase.hpp:95-155): ``pattern`` (no value column) vs
+    ``real``/``integer``, and ``symmetric`` (mirror every off-diagonal
+    entry) vs ``general``. 1-based MM indices are shifted to 0-based.
+    The dimension line is read on the driver (one small head); the
+    entries parse distributed.
+    """
+    head = spark.read.text(path).limit(64).collect()
+    banner = head[0]["value"].lower()
+    if not banner.startswith("%%matrixmarket"):
+        raise ValueError("not a MatrixMarket file")
+    pattern = "pattern" in banner
+    symmetric = "symmetric" in banner
+    dims = next(
+        r["value"] for r in head[1:] if not r["value"].startswith("%")
+    )
+    nrows, ncols = (int(t) for t in dims.split()[:2])
+
+    # monotonically_increasing_id follows file-split order for text
+    # reads, so the min-id non-comment row is the dimension line — drop
+    # exactly that one, everything else parses distributed
+    lines = spark.read.text(path).withColumn(
+        "_i", F.monotonically_increasing_id()
+    )
+    data = lines.where(~F.col("value").startswith("%") & (F.trim("value") != ""))
+    dims_i = data.agg(F.min("_i").alias("i")).collect()[0]["i"]
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    body = data.where(F.col("_i") != dims_i).select(
+        (parts.getItem(0).cast("long") - 1).alias(SRC),
+        (parts.getItem(1).cast("long") - 1).alias(DST),
+        *([] if pattern else [parts.getItem(2).cast("double").alias(VAL)]),
+    )
+    if symmetric:
+        sw = [F.col(DST).alias(SRC), F.col(SRC).alias(DST)] + (
+            [F.col(VAL)] if not pattern else []
+        )
+        body = body.unionByName(body.where(F.col(SRC) != F.col(DST)).select(*sw))
+    return body, nrows, ncols
