@@ -60,7 +60,9 @@ def label_propagation(
     it = 1
     converged = False
     while it < max_iterations:
-        fnext_raw = mxv(weighted_edges, f, alg.PLUS_TIMES, strategy="shuffle")
+        fnext_raw = mxv(
+            weighted_edges, f, alg.PLUS_TIMES, strategy="auto", frontier_nnz=n
+        )
         fnext = (
             f.select(ID)
             .join(fnext_raw.select(ID, F.col(VAL).alias("_wx")), on=ID, how="left")

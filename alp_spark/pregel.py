@@ -162,7 +162,13 @@ def pregel(
             out_vec = state.select(ID, F.col("out").alias(VAL))
             active_ids = state.where("active").select(ID)
             ring = alg.Semiring(add=combiner, mul=alg.left_assign, one=True)
-            msgs = vxm(out_vec, edges, ring, out_mask=active_ids, strategy="shuffle")
+            # frontier is at most n entries (the reference keeps `out`
+            # dense, SparsificationStrategy NONE): broadcast-join when it
+            # fits, shuffle otherwise — the CRS/CCS direction choice
+            msgs = vxm(
+                out_vec, edges, ring, out_mask=active_ids,
+                strategy="auto", frontier_nnz=n,
+            )
             cur = state.join(
                 msgs.select(ID, F.col(VAL).alias("_msg")), on=ID, how="left"
             ).withColumn(
