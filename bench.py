@@ -32,6 +32,7 @@ from alp_spark.session import get_spark  # noqa: E402
 #: flood, masked SpGEMM, dedup/LSH/ANN/text pipeline ops).
 HEADLINE = [
     "pagerank5",
+    "pagerank5_csr",
     "out_degree",
     "connected_components",
     "triangle_count",
