@@ -47,7 +47,19 @@ HEADLINE = [
 ]
 
 
+def _quiet_khugepaged() -> None:
+    """Best-effort: THP compaction (khugepaged) throttles python workers
+    under numpy allocation churn (measured 3-10x superstep inflation);
+    defrag off stops the compactor. Ignored without privileges."""
+    try:
+        with open("/sys/kernel/mm/transparent_hugepage/defrag", "w") as fh:
+            fh.write("never")
+    except OSError:
+        pass
+
+
 def main() -> None:
+    _quiet_khugepaged()
     ap = argparse.ArgumentParser()
     ap.add_argument(
         "--sf-dir",
