@@ -200,6 +200,31 @@ _CHUNK_CACHE: dict = {}
 _CACHE_MAX_BYTES = 8 << 30
 _cache_bytes = 0
 
+#: reused per-worker workspaces — fresh page allocation is the dominant
+#: per-superstep cost on fault-expensive (virtualised) kernels, so the x
+#: vector is read into a persistent buffer and the gather writes into a
+#: persistent out-array instead of allocating each call
+_WORKSPACE: dict = {}
+
+
+def _load_x(x_path: str, n: int) -> np.ndarray:
+    buf = _WORKSPACE.get("x")
+    if buf is None or len(buf) != n:
+        buf = np.empty(n, dtype=np.float64)
+        _WORKSPACE["x"] = buf
+    with open(x_path, "rb") as fh:
+        fh.seek(-n * 8, 2)  # npy payload is the trailing n*8 bytes
+        fh.readinto(memoryview(buf).cast("B"))
+    return buf
+
+
+def _contrib_buf(m: int) -> np.ndarray:
+    buf = _WORKSPACE.get("contrib")
+    if buf is None or len(buf) < m:
+        buf = np.empty(max(m, DEFAULT_TARGET_EDGES), dtype=np.float64)
+        _WORKSPACE["contrib"] = buf
+    return buf[:m]
+
 
 def _load_chunk(path: str, layout: str):
     global _cache_bytes
@@ -262,20 +287,21 @@ def spmv_dense(
         bx = spark.sparkContext.broadcast(x)
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        xv = np.load(x_path) if x_path is not None else bx.value
+        xv = _load_x(x_path, n) if x_path is not None else bx.value
         for pdf in batches:
             out = {"lo": [], "width": [], "seg": []}
             for row in pdf.itertuples(index=False):
                 if layout == "src":
                     src, dstoff = _load_chunk(row.path, layout)
-                    contrib = xv[src]  # ascending src → streaming read
+                    # ascending src → streaming read, into a reused buffer
+                    contrib = np.take(xv, src, out=_contrib_buf(len(src)), mode="clip")
                     # L2-resident scatter: width*8B accumulator
                     seg = np.bincount(
                         dstoff, weights=contrib, minlength=row.width
                     )
                 else:
                     src, starts, uids = _load_chunk(row.path, layout)
-                    contrib = xv[src]
+                    contrib = np.take(xv, src, out=_contrib_buf(len(src)), mode="clip")
                     vals = ufunc.reduceat(contrib, starts)
                     seg = np.full(row.width, ident)
                     seg[uids] = vals  # uids unique within a sorted chunk
