@@ -181,6 +181,18 @@ def q_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select(ID, F.round(VAL, 6).alias("rank"))
 
 
+def q_top_rank_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """argmax over the pagerank5 vector (ops.hpp:600 → the ARGMAX pair
+    monoid: one F.max over struct(rank, id), id as deterministic
+    tiebreak) — 'which vertex has the top rank', reduced map-side."""
+    pr = q_pagerank5(spark, sf_dir)
+    return pr.agg(
+        F.max(alg.pair(F.col("rank"), F.col(ID))).alias("m")
+    ).select(
+        F.col("m.idx").alias("top_id"), F.col("m.val").alias("top_rank")
+    )
+
+
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-core coreness by algebraic peeling
     (kcore_decomposition.hpp:141-296, Li et al. HPEC'21) — iterative
@@ -352,6 +364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dot_degrees": q_dot_degrees,
         "pagerank5": q_pagerank5,
         "pagerank5_csr": q_pagerank5_csr,
+        "top_rank_vertex": q_top_rank_vertex,
         "kcore": q_kcore,
         "connected_components": q_connected_components,
         "triangle_count": q_triangle_count,
@@ -515,6 +528,9 @@ i AS (SELECT dst AS id, count(*) AS v FROM edges GROUP BY dst)
 SELECT sum(o.v * i.v)::DOUBLE AS dot_val FROM o JOIN i ON o.id = i.id""",
         "pagerank5": _pagerank5_sql(),
         "pagerank5_csr": _pagerank5_sql(),
+        "top_rank_vertex": f"""WITH pr AS ({_pagerank5_sql()})
+SELECT id AS top_id, rank AS top_rank FROM pr
+ORDER BY rank DESC, id DESC LIMIT 1""",
         "connected_components": f"""WITH RECURSIVE {E_SQL},
 {SYM_SQL},
 r(id, reach) AS (

@@ -36,6 +36,11 @@ class Monoid:
     identity: object  # python literal for the identity element
 
     def lit_identity(self) -> Column:
+        if isinstance(self.identity, tuple):  # pair monoids (argmin/argmax)
+            return F.struct(
+                F.lit(self.identity[0]).alias("val"),
+                F.lit(self.identity[1]).alias("idx"),
+            )
         return F.lit(self.identity)
 
 
@@ -154,11 +159,43 @@ def geq(x, y):  # ops.hpp:794
     return x >= y
 
 
+# argmin/argmax (ops.hpp:573/600) operate on (value, index) pairs; in
+# Spark a struct(val, idx) column compares lexicographically, so the
+# pairwise op is least/greatest over structs and the grouped reduction
+# is F.min/F.max over the same struct — with the index as deterministic
+# tiebreak. The direct keyed forms (SURVEY §2.1's F.min_by/F.max_by
+# mapping) are exposed as aggregate helpers below.
+
+def argmin_op(x: Column, y: Column) -> Column:  # ops.hpp:573
+    """x, y are struct(val, idx); returns the pair with the smaller val
+    (smaller idx on ties)."""
+    return F.least(x, y)
+
+
+def argmax_op(x: Column, y: Column) -> Column:  # ops.hpp:600
+    return F.greatest(x, y)
+
+
+def argmin_agg(idx: Column, val: Column) -> Column:
+    """Index of the minimum value in a group (min_by; idx NOT the
+    tiebreak — use pair_agg for determinism on ties)."""
+    return F.min_by(idx, val)
+
+
+def argmax_agg(idx: Column, val: Column) -> Column:
+    return F.max_by(idx, val)
+
+
+def pair(val: Column, idx: Column) -> Column:
+    """Build the (val, idx) operand argmin/argmax reduce over."""
+    return F.struct(val.alias("val"), idx.alias("idx"))
+
+
 # --- standard monoids --------------------------------------------------------
 
 PLUS = Monoid(op=add, agg=F.sum, identity=0.0)
 PLUS_LONG = Monoid(op=add, agg=F.sum, identity=0)
-TIMES = Monoid(op=mul, agg=lambda c: F.exp(F.sum(F.log(c))), identity=1.0)
+TIMES = Monoid(op=mul, agg=F.product, identity=1.0)
 MIN = Monoid(op=min_, agg=F.min, identity=math.inf)
 MAX = Monoid(op=max_, agg=F.max, identity=-math.inf)
 MIN_LONG = Monoid(op=min_, agg=F.min, identity=(1 << 62))
@@ -166,6 +203,10 @@ MAX_LONG = Monoid(op=max_, agg=F.max, identity=-(1 << 62))
 LOR = Monoid(op=logical_or, agg=lambda c: F.max(c.cast("boolean")), identity=False)
 LAND = Monoid(op=logical_and, agg=lambda c: F.min(c.cast("boolean")), identity=True)
 ANY = Monoid(op=any_or, agg=lambda c: F.first(c, ignorenulls=True), identity=None)
+# argmin/argmax monoids reduce struct(val, idx) pairs; the identity pair
+# (±inf, max-id) is a Column, not a python literal — use lit_identity().
+ARGMIN = Monoid(op=argmin_op, agg=F.min, identity=(math.inf, (1 << 62)))
+ARGMAX = Monoid(op=argmax_op, agg=F.max, identity=(-math.inf, (1 << 62)))
 
 
 # --- semirings used by the shipped algorithms (SURVEY.md §1.4) ---------------

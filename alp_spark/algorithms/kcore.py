@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..containers import DST, ID, SRC
+from ..operators.blas2 import BROADCAST_NNZ_THRESHOLD
 
 
 @dataclass
@@ -39,6 +40,7 @@ def kcore_decomposition(
     sym_edges: DataFrame,
     n: int,
     max_rounds: int = 0,
+    broadcast_threshold: int = BROADCAST_NNZ_THRESHOLD,
 ) -> KCoreResult:
     """Coreness per vertex over an undirected graph given as a
     symmetric edge table (both directions present, no self-loops)."""
@@ -79,9 +81,14 @@ def kcore_decomposition(
         if max_rounds and rounds > max_rounds:
             break
 
-        # push a unit message along every edge out of a peeled vertex;
-        # the frontier is small → broadcast join, no edge shuffle
-        peel_ids = F.broadcast(state.where(peels).select(F.col(ID).alias(SRC)))
+        # push a unit message along every edge out of a peeled vertex.
+        # Frontier size is known (n_peel): broadcast the semi-join only
+        # when it fits (the vxm strategy='auto' cost rule) — the k=0/1
+        # levels of a web graph can peel a large fraction of all
+        # vertices, which must go through the shuffle semi-join instead
+        peel_ids = state.where(peels).select(F.col(ID).alias(SRC))
+        if n_peel <= broadcast_threshold:
+            peel_ids = F.broadcast(peel_ids)
         dec = (
             sym_edges.join(peel_ids, on=SRC, how="left_semi")
             .groupBy(F.col(DST).alias(ID))

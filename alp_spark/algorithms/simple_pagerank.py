@@ -38,6 +38,15 @@ from ..containers import ID, VAL, set_dense
 from ..operators import vxm
 from ..operators.blas2 import BROADCAST_NNZ_THRESHOLD
 
+#: 'auto' broadcasts the dense rank vector up to this n. 16x the sparse
+#: frontier threshold (blas2.BROADCAST_NNZ_THRESHOLD) ≈ 256 MB of
+#: (id, val) pairs per executor as a broadcast hash table — sized for
+#: >= 4 GB executors; pass a smaller ``dense_broadcast_nnz`` (or
+#: strategy='shuffle') on memory-constrained clusters. The win it buys:
+#: the persisted dst-partitioned edge table is never re-shuffled, so
+#: each iteration runs with ZERO Exchange.
+DENSE_BROADCAST_NNZ = 16 * BROADCAST_NNZ_THRESHOLD
+
 
 @dataclass
 class PageRankResult:
@@ -59,13 +68,15 @@ def simple_pagerank(
     initial: DataFrame | None = None,
     start_iteration: int = 0,
     strategy: str = "auto",
+    dense_broadcast_nnz: int = DENSE_BROADCAST_NNZ,
 ) -> PageRankResult:
     """Run PageRank to convergence; defaults mirror the reference
     (α=0.85, conv=1e-7, max=1000 — simple_pagerank.hpp:140-142).
 
     ``strategy``: vxm join strategy per iteration. 'auto' broadcasts the
     (always dense) rank vector when it fits executor memory
-    (n ≤ 16M ≈ 256MB), so the edge table — persisted here once — is
+    (n ≤ ``dense_broadcast_nnz``, see :data:`DENSE_BROADCAST_NNZ` for
+    the memory math), so the edge table — persisted here once — is
     never re-shuffled; larger graphs fall back to the shuffle hash join.
     The analog of the reference's CRS/CCS loop-size strategy choice
     (reference/blas2.hpp:1104-1145).
@@ -74,7 +85,7 @@ def simple_pagerank(
         raise ValueError("alpha must be in (0,1), max_iter > 0")  # ILLEGAL checks
 
     if strategy == "auto":
-        strategy = "broadcast" if n <= 16_000_000 else "shuffle"
+        strategy = "broadcast" if n <= dense_broadcast_nnz else "shuffle"
     we_persisted = False
     if not edges.storageLevel.useMemory:
         if strategy == "broadcast":

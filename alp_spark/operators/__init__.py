@@ -5,6 +5,7 @@ from .blas1 import (  # noqa: F401
     dot,
     e_wise_add,
     e_wise_apply,
+    e_wise_apply_scalar,
     e_wise_lambda,
     e_wise_map,
     e_wise_mul,

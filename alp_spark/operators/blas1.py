@@ -86,6 +86,24 @@ def e_wise_apply(
     return apply_mask(out, mask, invert=invert_mask)
 
 
+def e_wise_apply_scalar(
+    x: DataFrame,
+    beta: object,
+    op: BinOp,
+    flip: bool = False,
+    mask: DataFrame | None = None,
+    invert_mask: bool = False,
+) -> DataFrame:
+    """z = x ⊙ β (or β ⊙ x with ``flip``) — the vector⊙scalar overloads
+    of eWiseApply (base/blas1.hpp's 16-overload family). The scalar is a
+    plan literal; sparsity follows x (a scalar is structurally dense)."""
+    b = F.lit(beta)
+    expr = op(b, F.col(VAL)) if flip else op(F.col(VAL), b)
+    return apply_mask(
+        x.select(F.col(ID), expr.alias(VAL)), mask, invert=invert_mask
+    )
+
+
 def fold_vector(z: DataFrame, x: DataFrame, monoid: Monoid) -> DataFrame:
     """z ⊕= x under union semantics (foldl vector←vector,
     reference/blas1.hpp:9860) — the accumulate step of eWiseAdd."""
@@ -168,15 +186,29 @@ def e_wise_mul_add(
     mul_op: BinOp,
 ) -> DataFrame:
     """z = a⊗x ⊕ y fused (eWiseMulAdd FMA family,
-    reference/blas1.hpp eWiseMulAdd_dispatch). Expressed as one select
-    after the joins — Catalyst fuses the arithmetic into one codegen
-    stage, the analog of the reference's fused kernel."""
-    ax = e_wise_apply(a, x, mul_op)
-    return e_wise_apply(
-        e_wise_apply(ax, y, add_monoid.op, monoid=add_monoid),
-        z,
-        add_monoid.op,
-        monoid=add_monoid,
+    reference/blas1.hpp eWiseMulAdd_dispatch). a⊗x intersects; the ⊕
+    folds union. Chained string-key joins keep the hash partitioning on
+    ``id`` (no per-step re-shuffle) and the whole FMA lands in ONE
+    select — Catalyst fuses the arithmetic into one codegen stage, the
+    analog of the reference's fused kernel."""
+    ident = add_monoid.lit_identity()
+    ax = (
+        a.select(ID, F.col(VAL).alias("_a"))
+        .join(x.select(ID, F.col(VAL).alias("_x")), on=ID, how="inner")
+        .select(ID, mul_op(F.col("_a"), F.col("_x")).alias("_ax"))
+    )
+    return (
+        ax.join(y.select(ID, F.col(VAL).alias("_y")), on=ID, how="full_outer")
+        .join(z.select(ID, F.col(VAL).alias("_z")), on=ID, how="full_outer")
+        .select(
+            ID,
+            add_monoid.op(
+                add_monoid.op(
+                    F.coalesce(F.col("_ax"), ident), F.coalesce(F.col("_y"), ident)
+                ),
+                F.coalesce(F.col("_z"), ident),
+            ).alias(VAL),
+        )
     )
 
 

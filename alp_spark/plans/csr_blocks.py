@@ -134,6 +134,14 @@ def build_csr_blocks(
         lo = pid * width
         src = pdf[SRC].to_numpy(dtype=np.int64)
         dst = pdf[DST].to_numpy(dtype=np.int64)
+        # validate ONCE at build time so the per-superstep gather can use
+        # mode='clip' without ever silently clamping a bad id (dst ids
+        # fail loudly via the pid/width path; src ids would not)
+        if len(src) and (src.min() < 0 or src.max() >= n):
+            raise ValueError(
+                f"src vertex id out of range [0, {n}): "
+                f"[{src.min()}, {src.max()}]"
+            )
         # ONE sort, at build time (never per superstep)
         order = np.argsort(src if layout == "src" else dst, kind="stable")
         src = src[order].astype(src_dtype)

@@ -54,16 +54,19 @@ def read_matrix_market(
     )
     nrows, ncols = (int(t) for t in dims.split()[:2])
 
-    # monotonically_increasing_id follows file-split order for text
-    # reads, so the min-id non-comment row is the dimension line — drop
-    # exactly that one, everything else parses distributed
-    lines = spark.read.text(path).withColumn(
-        "_i", F.monotonically_increasing_id()
-    )
+    # Drop the dimension line by CONTENT, not position: FileSourceScan
+    # orders splits by size descending, so no row-id trick identifies
+    # "the first data line" on multi-split inputs. The dims string is
+    # already parsed driver-side above; filtering rows whose normalized
+    # fields equal it removes exactly the header (an entry row can only
+    # collide if (i, j, v) == (nrows, ncols, nnz) token-for-token).
+    lines = spark.read.text(path)
     data = lines.where(~F.col("value").startswith("%") & (F.trim("value") != ""))
-    dims_i = data.agg(F.min("_i").alias("i")).collect()[0]["i"]
+    dims_norm = " ".join(dims.split())
     parts = F.split(F.trim(F.col("value")), r"\s+")
-    body = data.where(F.col("_i") != dims_i).select(
+    body = data.where(
+        F.array_join(parts, " ") != F.lit(dims_norm)
+    ).select(
         (parts.getItem(0).cast("long") - 1).alias(SRC),
         (parts.getItem(1).cast("long") - 1).alias(DST),
         *([] if pattern else [parts.getItem(2).cast("double").alias(VAL)]),

@@ -60,16 +60,36 @@ def gen_graph(path: str, n: int, avg_deg: int) -> None:
     pq.write_table(tbl, path, row_group_size=4_000_000)
 
 
+_THP_DEFRAG = "/sys/kernel/mm/transparent_hugepage/defrag"
+
+
 def _quiet_khugepaged() -> None:
     """Best-effort: THP compaction (khugepaged) throttles every worker to
     ~50% CPU under numpy's allocation churn on this kernel — measured 3-10x
     superstep inflation. Defrag off keeps huge pages but stops the
-    compactor; ignored without privileges."""
+    compactor; the prior setting is restored at exit. Ignored without
+    privileges."""
+    import atexit
+
     try:
-        with open("/sys/kernel/mm/transparent_hugepage/defrag", "w") as fh:
+        with open(_THP_DEFRAG) as fh:
+            raw = fh.read()
+        prior = next(
+            (t.strip("[]") for t in raw.split() if t.startswith("[")), "madvise"
+        )
+        with open(_THP_DEFRAG, "w") as fh:
             fh.write("never")
     except OSError:
-        pass
+        return
+
+    def _restore() -> None:
+        try:
+            with open(_THP_DEFRAG, "w") as fh:
+                fh.write(prior)
+        except OSError:
+            pass
+
+    atexit.register(_restore)
 
 
 def main() -> None:
