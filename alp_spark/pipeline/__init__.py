@@ -27,4 +27,6 @@ from .similarity import (  # noqa: F401
     cosine_dup_pairs,
     cosine_topk,
     lsh_ann_topk,
+    srp_bucket,
+    srp_planes,
 )

@@ -115,9 +115,12 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
-    With ``candidates`` (doc_a, doc_b) given, verifies only those (the
-    LSH-then-verify pattern); otherwise compares all pairs sharing at
-    least one shingle (safe only at small scale / after blocking).
+    With ``candidates`` (doc_a, doc_b) given, intersections are computed
+    for ONLY those pairs — the candidate set prunes BEFORE the shingle
+    join, so the shuffle volume is |candidates| x avg-shingles, not
+    corpus-quadratic (the LSH-then-verify scale path). Without it, all
+    pairs sharing at least one shingle are compared (hot shingles make
+    this quadratic — safe only at small scale / after blocking).
     Returns (doc_a, doc_b, jaccard) with jaccard ≥ threshold, rounded
     to 1e-6 for engine portability.
     """
@@ -129,16 +132,29 @@ def ngram_jaccard_pairs(
     )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
 
-    a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
-    inter = (
-        a.join(b, on="sh")
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, on=["doc_a", "doc_b"], how="left_semi")
+        # (doc_a, doc_b) ⋈ shingles(doc_a) ⋈ shingles(doc_b): every row
+        # is candidate-scoped; hub shingles never cross-product
+        inter = (
+            candidates.join(
+                sh.select(F.col("doc_id").alias("doc_a"), "sh"), on="doc_a"
+            )
+            .join(
+                sh.select(F.col("doc_id").alias("doc_b"), "sh"),
+                on=["doc_b", "sh"],
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    else:
+        a = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        b = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+        inter = (
+            a.join(b, on="sh")
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
     return (
         inter.join(sizes.withColumnRenamed("doc_id", "doc_a"), on="doc_a")
         .withColumnRenamed("n_sh", "n_a")

@@ -86,13 +86,36 @@ def cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = None,
+    candidates: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: cosine ≥ threshold, id_a < id_b.
 
-    ``block_col``: optional blocking key (e.g. an LSH bucket column or
-    a label) restricting comparisons to same-block pairs — the scale
-    path; omit for exact all-pairs at small scale.
+    ``candidates``: optional (id_a, id_b) pair table (e.g. from
+    :func:`srp_candidate_pairs`) — exact cosine is computed for ONLY
+    those pairs via two id-equi-joins (LSH-then-verify, the 100 TB
+    path). ``block_col``: optional blocking key restricting comparisons
+    to same-block pairs. Omit both for exact all-pairs at small scale.
     """
+    if candidates is not None:
+        j = (
+            candidates.join(
+                emb.select(
+                    F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+                ),
+                on="id_a",
+            )
+            .join(
+                emb.select(
+                    F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+                ),
+                on="id_b",
+            )
+        )
+        return (
+            j.select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+            .where(F.col("_cos") >= threshold)
+            .select("id_a", "id_b", F.round("_cos", 5).alias("cos"))
+        )
     cols = [F.col(id_col), F.col(vec_col)] + (
         [F.col(block_col)] if block_col else []
     )
@@ -117,6 +140,12 @@ def cosine_dup_pairs(
     )
 
 
+def srp_planes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
+    """The deterministic SRP hyperplane sample — exposed so SQL oracles
+    can bake the identical float64 literals into their plans."""
+    return np.random.RandomState(seed).standard_normal((n_planes, dim))
+
+
 def srp_bucket(
     vec: Column, dim: int, n_planes: int = 8, seed: int = 7
 ) -> Column:
@@ -126,7 +155,7 @@ def srp_bucket(
     Gaussian sample baked into the plan as literals — every executor
     (and every rerun) sees identical planes.
     """
-    planes = np.random.RandomState(seed).standard_normal((n_planes, dim))
+    planes = srp_planes(dim, n_planes, seed)
     bits = []
     for p in planes:
         lit = F.array(*[F.lit(float(w)) for w in p])

@@ -5,10 +5,14 @@ include/graphblas/interfaces/pregel.hpp:337-953) as a driver-side
 superstep loop over one state DataFrame; semantics traced from the
 reference ``execute`` (pregel.hpp:650-920):
 
-1. the vertex program runs on ACTIVE vertices only, vectorized
-   (masked eWiseLambda, pregel.hpp:765-804 → one ``mapInPandas`` pass
-   where the program is handed the whole Arrow batch plus the ``active``
-   column and the runtime restores inactive rows);
+1. the vertex program runs on ACTIVE vertices only (masked eWiseLambda,
+   pregel.hpp:765-804). Physically: the state frame is split by the
+   ``active`` column, ONLY the active slice goes through the Arrow
+   ``mapInPandas`` program pass, and the inactive slice is unioned back
+   via a pure-Column projection — so the per-superstep Python/Arrow cost
+   is O(active), not O(n). (Late supersteps of CC/label-prop have tiny
+   frontiers; serializing all n rows through Python for them was the
+   round-1 scale bug.)
 2. halt check: terminate when every vertex that ran this round voted to
    halt (foldl over the round-entry active set, pregel.hpp:812-814);
 3. the active set only shrinks (sparsification, pregel.hpp:831-833);
@@ -19,14 +23,25 @@ reference ``execute`` (pregel.hpp:650-920):
    (pregel.hpp:882-884, ring built at :714-721). NOTE the reference
    default keeps ``out`` dense (SparsificationStrategy NONE,
    pregel.hpp:242): vertices that went inactive KEEP broadcasting their
-   last message. We reproduce that exactly — it is load-bearing for
-   round-count and label parity.
+   last message. We reproduce that exactly by default — it is
+   load-bearing for round-count and label parity.
+6. ``sparsify`` exposes the reference's full SparsificationStrategy set
+   (pregel.hpp:167-242, applied at :887-898): under
+   'always'/'when_reduced'/'when_halved' the outgoing-message vector is
+   restricted to the active set (and reset to the combiner identity)
+   right after an exchange, so inactive vertices stop broadcasting and
+   the exchange join input shrinks with the frontier. The reference
+   applies sparsify AFTER the vxm; in this loop's phase (exchange at
+   round entry) that lands between assembling ``incoming`` and running
+   the program. Liveness is tracked in the ``_out_live`` column;
+   ``out_nnz`` (the trigger's cost input) is carried on the driver.
 
 Per-superstep Spark cost: one message groupBy (shuffle, map-side partial
-agg absorbs hub in-degree skew), one id-join, one ``mapInPandas`` program
-pass, one small stats action. State is localCheckpoint'ed every round to
-truncate lineage and parquet-checkpointed with lineage + metrics every
-``checkpoint_every`` rounds (resumable — north rule).
+agg absorbs hub in-degree skew), one id-join against the ACTIVE slice,
+one ``mapInPandas`` program pass over O(active) rows, one small stats
+action. State is localCheckpoint'ed every round to truncate lineage and
+parquet-checkpointed with lineage + metrics every ``checkpoint_every``
+rounds (resumable — north rule).
 
 The per-vertex ``PregelState`` fields (pregel.hpp:266-326) map to columns
 ``active, halt, outdegree, indegree, id`` plus context globals
@@ -66,6 +81,7 @@ class PregelResult:
 VertexProgram = Callable[[pd.DataFrame, PregelContext], pd.DataFrame]
 
 _STATE_COLS = ["id", "state", "out", "active", "halt", "outdegree", "indegree"]
+_SPARSIFY = ("none", "always", "when_reduced", "when_halved")
 
 
 def _degrees(spark: SparkSession, edges: DataFrame, n: int) -> DataFrame:
@@ -104,8 +120,17 @@ def pregel(
     checkpoint_every: int = 10,
     resume_state: DataFrame | None = None,
     resume_round: int = 0,
+    sparsify: str = "none",
 ) -> PregelResult:
-    """Run a vertex program to termination (pregel.hpp:650-920)."""
+    """Run a vertex program to termination (pregel.hpp:650-920).
+
+    ``sparsify``: the reference SparsificationStrategy for the outgoing
+    message vector (pregel.hpp:167-242) — 'none' (reference default,
+    inactive vertices keep broadcasting their last message) | 'always' |
+    'when_reduced' | 'when_halved'.
+    """
+    if sparsify not in _SPARSIFY:
+        raise ValueError(f"sparsify must be one of {_SPARSIFY}")
     nnz = num_edges if num_edges is not None else edges.count()
     msg_id = combiner.identity
 
@@ -133,9 +158,18 @@ def pregel(
             "indegree",
         )
         step = 0
+    # out-liveness under sparsification; on resume the live set restarts
+    # at the active set (≡ a sparsify applied at resume) for != 'none'
+    live_init = F.lit(True) if sparsify == "none" else F.col("active")
+    state = state.withColumn("_out_live", live_init)
     state = state.localCheckpoint(eager=True)
 
     out_cols = _STATE_COLS + ["_ran"]
+
+    # instrument the Arrow program pass: rows actually serialized through
+    # Python per run (test hook for the O(active) contract; task retries
+    # can overcount, which is fine for its purpose)
+    prog_rows_acc = spark.sparkContext.accumulator(0)
 
     def run_program(ctx: PregelContext):
         def fn(batches):
@@ -143,44 +177,80 @@ def pregel(
                 if len(pdf) == 0:
                     yield pdf.reindex(columns=out_cols)
                     continue
-                act = pdf["active"].to_numpy(copy=True)
-                before = pdf[["state", "out", "active", "halt"]].copy()
+                prog_rows_acc.add(len(pdf))
+                # every input row is active by construction; the program
+                # may flip `active`/`halt` and write `state`/`out`
                 out = program(pdf, ctx)
-                # restore inactive rows: program effects apply to active only
-                for col in ("state", "out", "active", "halt"):
-                    out.loc[~act, col] = before.loc[~act, col]
                 yield out[out_cols]
         return fn
 
     history: list[dict] = []
     converged = True
+    out_nnz = n  # nnz of the outgoing-message vector (driver-tracked)
+    n_active = n
     while True:
-        # ---- assemble program input: state ⋈ incoming messages --------------
+        # ---- exchange: incoming[j] = ⊕_{i→j, live(i)} out[i] ---------------
+        active_state = state.where("active")
         if step == 0 and resume_state is None:
-            cur = state.withColumn("incoming", F.lit(msg_id).cast(msg_type))
+            cur = active_state.withColumn(
+                "incoming", F.lit(msg_id).cast(msg_type)
+            )
         else:
-            out_vec = state.select(ID, F.col("out").alias(VAL))
-            active_ids = state.where("active").select(ID)
+            out_vec = (
+                state.where("_out_live") if sparsify != "none" else state
+            ).select(ID, F.col("out").alias(VAL))
+            active_ids = active_state.select(ID)
             ring = alg.Semiring(add=combiner, mul=alg.left_assign, one=True)
-            # frontier is at most n entries (the reference keeps `out`
-            # dense, SparsificationStrategy NONE): broadcast-join when it
+            # the out vector has out_nnz entries: broadcast-join when it
             # fits, shuffle otherwise — the CRS/CCS direction choice
             msgs = vxm(
                 out_vec, edges, ring, out_mask=active_ids,
-                strategy="auto", frontier_nnz=n,
+                strategy="auto", frontier_nnz=out_nnz,
             )
-            cur = state.join(
+            cur = active_state.join(
                 msgs.select(ID, F.col(VAL).alias("_msg")), on=ID, how="left"
             ).withColumn(
                 "incoming", F.coalesce(F.col("_msg"), F.lit(msg_id).cast(msg_type))
             ).drop("_msg")
 
+        # ---- sparsify-out (reference order: right after the vxm, before
+        # the next program pass — pregel.hpp:887-898) -------------------------
+        do_sparsify = sparsify != "none" and (step > 0 or resume_state is not None) and (
+            sparsify == "always"
+            or (sparsify == "when_reduced" and out_nnz > n_active)
+            or (sparsify == "when_halved" and n_active <= out_nnz // 2)
+        )
+        if do_sparsify:
+            # live := active, out := combiner identity on the live set
+            cur = cur.withColumn("out", F.lit(msg_id).cast(msg_type))
+            out_nnz = n_active
+
         cur = (
-            cur.withColumn("_ran", F.col("active"))
+            cur.withColumn("_ran", F.lit(True))
             .withColumn("halt", F.lit(False))  # votes reset (pregel.hpp:865-870)
         )
         ctx = PregelContext(round=step, num_vertices=n, num_edges=nnz, data=data)
-        new = cur.mapInPandas(run_program(ctx), schema=schema)
+        programmed = cur.select(*_STATE_COLS, "incoming", "_ran").mapInPandas(
+            run_program(ctx), schema=schema
+        )
+        # inactive rows never enter Python: pure-Column passthrough.
+        # Their halt vote resets too (grb::clear over ALL votes,
+        # pregel.hpp:866) and, on a sparsify round, they leave the live
+        # out set.
+        passthrough = state.where(~F.col("active")).select(
+            ID,
+            "state",
+            "out",
+            "active",
+            F.lit(False).alias("halt"),
+            "outdegree",
+            "indegree",
+            F.lit(False).alias("_ran"),
+            (F.lit(False) if do_sparsify else F.col("_out_live")).alias("_out_live"),
+        )
+        # programmed rows are always live: live ⊇ active is invariant
+        # (sparsify sets live := active; active only shrinks)
+        new = programmed.withColumn("_out_live", F.lit(True)).unionByName(passthrough)
         new = new.localCheckpoint(eager=True)
         state.unpersist()
         state = new
@@ -194,7 +264,15 @@ def pregel(
         ).collect()[0]
         n_active = int(stats["n_active"] or 0)
         all_halt = bool(stats["all_halt"]) if stats["all_halt"] is not None else False
-        history.append({"round": step, "active": n_active, "all_halt": all_halt})
+        history.append(
+            {
+                "round": step,
+                "active": n_active,
+                "all_halt": all_halt,
+                "program_rows": prog_rows_acc.value,
+                "out_nnz": out_nnz,
+            }
+        )
 
         if checkpointer is not None and step % checkpoint_every == 0:
             checkpointer.save(
