@@ -45,8 +45,10 @@ from alp_spark.pipeline import (
     ngram_jaccard_pairs,
     quality_score,
     simhash_signatures,
+    srp_candidate_pairs,
     token_stats,
 )
+from alp_spark.pipeline.similarity import srp_planes
 
 N_V = 1000  # graph vertex-id space (mod applied to lineitem keys)
 PR_ITERS = 5
@@ -60,6 +62,13 @@ ANN_K = 3
 # pairwise cosine, so 0.4 selects the genuine "close pair" tail
 DUP_COS = 0.4
 JACCARD_MIN = 0.2
+EMB_DIM = 64
+SRP_SEED = 7
+ANN_PLANES = 8
+# banded SRP for near-dup candidates: 4 bands x 4 bits — tuned for the
+# ~0.45-cosine dup tail at test scale (raise band_bits on larger corpora)
+SRP_BANDS = 4
+SRP_BAND_BITS = 4
 
 
 # --------------------------------------------------------------------------
@@ -319,8 +328,14 @@ def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-then-verify: exact n-gram Jaccard computed ONLY for MinHash
+    band-collision candidates — candidate-proportional shuffle volume
+    (hot shingles like 'of the' never cross-product)."""
+    docs = _tbl(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=MINHASHES, shingle_k=2)
+    cands = lsh_candidate_pairs(sigs, num_hashes=MINHASHES, band_size=BAND_SIZE)
     return ngram_jaccard_pairs(
-        _tbl(spark, sf_dir, "documents"), shingle_k=2, threshold=JACCARD_MIN
+        docs, shingle_k=2, threshold=JACCARD_MIN, candidates=cands
     )
 
 
@@ -335,14 +350,27 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_cosine_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return cosine_dup_pairs(_tbl(spark, sf_dir, "embeddings"), threshold=DUP_COS)
+    """Banded-SRP candidates + exact cosine verify (LSH-then-verify) —
+    no cross product anywhere in the plan; the brute-force all-pairs
+    variant remains available as cosine_dup_pairs(candidates=None)."""
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cands = srp_candidate_pairs(
+        emb, dim=EMB_DIM, n_bands=SRP_BANDS, band_bits=SRP_BAND_BITS, seed=SRP_SEED
+    )
+    return cosine_dup_pairs(emb, threshold=DUP_COS, candidates=cands)
 
 
 def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SRP-bucketed approximate NN (rows-only: the random hyperplanes are
-    plan literals, not reproducible in SQL)."""
+    """SRP-bucketed approximate NN. The random hyperplanes are
+    deterministic plan literals (seeded RandomState), so the DuckDB
+    oracle bakes the identical float64 literals and mirrors the plan."""
     return lsh_ann_topk(
-        _tbl(spark, sf_dir, "embeddings"), dim=64, k=ANN_K, n_queries=ANN_QUERIES
+        _tbl(spark, sf_dir, "embeddings"),
+        dim=EMB_DIM,
+        k=ANN_K,
+        n_queries=ANN_QUERIES,
+        n_planes=ANN_PLANES,
+        seed=SRP_SEED,
     )
 
 
@@ -453,6 +481,42 @@ sigs AS (
   SELECT doc_id,
        {sig_cols}
   FROM s
+)"""
+
+
+def _srp_bits_sql(vec_expr: str, plane_rows) -> str:
+    """Concat-of-sign-bits SQL over literal hyperplanes — the exact
+    float64 values the Spark plan bakes in (srp_planes is seeded), so
+    both engines compute identical bucket keys."""
+    bits = []
+    for p in plane_rows:
+        lst = "[" + ", ".join(repr(float(w)) for w in p) + "]"
+        bits.append(
+            f"CASE WHEN list_dot_product({vec_expr}, {lst}) > 0 "
+            "THEN '1' ELSE '0' END"
+        )
+    return "concat(" + ",\n         ".join(bits) + ")"
+
+
+def _srp_cand_sql() -> str:
+    """Banded SRP candidate pairs CTE chain (mirrors srp_candidate_pairs)."""
+    planes = srp_planes(EMB_DIM, SRP_BANDS * SRP_BAND_BITS, SRP_SEED)
+    band_selects = " UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, "
+        + _srp_bits_sql("v", planes[b * SRP_BAND_BITS : (b + 1) * SRP_BAND_BITS])
+        + " AS key FROM e"
+        for b in range(SRP_BANDS)
+    )
+    return f"""e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+keyed AS (
+  {band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM keyed a JOIN keyed b ON a.band = b.band AND a.key = b.key
+  WHERE a.vec_id < b.vec_id
 )"""
 
 
@@ -626,20 +690,33 @@ bands AS (
 SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
 FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
 WHERE a.doc_id < b.doc_id""",
-        "ngram_jaccard": f"""WITH {TOKS_SQL},
-s AS (
+        "ngram_jaccard": f"""WITH {_minhash_sig_select()},
+bands AS (
+  {" UNION ALL ".join(
+      f"SELECT doc_id, {b} AS band, md5(sig{2 * b} || sig{2 * b + 1}) AS key FROM sigs"
+      for b in range(MINHASHES // BAND_SIZE)
+  )}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sd AS (
   SELECT doc_id,
          list_distinct(list_transform(
             generate_series(1, greatest(len(toks) - 1, 1)),
             i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS sh
   FROM t
 ),
-ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM sd),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
 inter AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
-  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY a.doc_id, b.doc_id
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.doc_a
+  JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
+  GROUP BY c.doc_a, c.doc_b
 )
 SELECT doc_a, doc_b,
        round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
@@ -666,11 +743,32 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos
 FROM ranked WHERE rank <= {ANN_K}""",
-        "cosine_dup_pairs": f"""WITH e AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round({cos_expr("a.v", "b.v")}, 5) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
+        "cosine_dup_pairs": f"""WITH {_srp_cand_sql()}
+SELECT c.id_a, c.id_b, round({cos_expr("a.v", "b.v")}, 5) AS cos
+FROM cand c JOIN e a ON a.vec_id = c.id_a JOIN e b ON b.vec_id = c.id_b
 WHERE {cos_expr("a.v", "b.v")} >= {DUP_COS}""",
+        "lsh_ann_topk": f"""WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v,
+         {_srp_bits_sql("v", srp_planes(EMB_DIM, ANN_PLANES, SRP_SEED))} AS bkt
+  FROM e
+),
+scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {cos_expr("q.v", "c.v")} AS cos_raw
+  FROM bucketed q JOIN bucketed c
+    ON q.bkt = c.bkt AND c.vec_id <> q.vec_id
+  WHERE q.vec_id < {ANN_QUERIES}
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+         neighbor_id, round(cos_raw, 5) AS cos
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos
+FROM ranked WHERE rank <= {ANN_K}""",
     }

@@ -28,5 +28,6 @@ from .similarity import (  # noqa: F401
     cosine_topk,
     lsh_ann_topk,
     srp_bucket,
+    srp_candidate_pairs,
     srp_planes,
 )

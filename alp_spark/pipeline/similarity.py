@@ -163,6 +163,56 @@ def srp_bucket(
     return F.concat(*bits)
 
 
+def srp_candidate_pairs(
+    emb: DataFrame,
+    dim: int,
+    n_bands: int = 4,
+    band_bits: int = 4,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate candidate pairs via banded SRP LSH (the cosine
+    analog of MinHash banding): ``n_bands`` independent ``band_bits``-bit
+    sign-projection keys per vector; a pair is a candidate when ANY band
+    key collides. One explode + one equi-join on (band, key) — never a
+    cross product; key space is balanced by construction (random
+    hyperplanes), so the join does not skew. Recall/precision tune via
+    (n_bands, band_bits): more bits per band prune harder, more bands
+    recover recall — raise band_bits at larger corpus sizes.
+
+    Returns distinct (id_a, id_b) with id_a < id_b.
+    """
+    planes = srp_planes(dim, n_bands * band_bits, seed)
+
+    def band_key(b: int) -> Column:
+        bits = []
+        for r in range(band_bits):
+            lit = F.array(*[F.lit(float(w)) for w in planes[b * band_bits + r]])
+            bits.append(
+                F.when(_dot(F.col(vec_col), lit) > 0, F.lit("1")).otherwise(F.lit("0"))
+            )
+        return F.concat(*bits)
+
+    bands = F.array(
+        *[
+            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+            for b in range(n_bands)
+        ]
+    )
+    keyed = emb.select(F.col(id_col).alias("doc"), F.explode(bands).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
+    )
+    a = keyed.select(F.col("doc").alias("id_a"), "band", "key")
+    b = keyed.select(F.col("doc").alias("id_b"), "band", "key")
+    return (
+        a.join(b, on=["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     dim: int,

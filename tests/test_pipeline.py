@@ -210,3 +210,47 @@ def test_multimodal_plumbing(spark):
     # executor; Spark surfaces it as a PythonException carrying the message
     with pytest.raises(Exception, match="real media decode requires"):
         extract_features(media, decode="real").collect()
+
+
+def test_srp_candidate_pairs_and_verify(emb):
+    from alp_spark.pipeline import srp_candidate_pairs
+
+    vecs, df = emb
+    cands = srp_candidate_pairs(df, dim=8, n_bands=4, band_bits=2)
+    pairs = {(r["id_a"], r["id_b"]) for r in cands.collect()}
+    assert (0, 6) in pairs  # the near-dup collides in some band
+    verified = cosine_dup_pairs(df, 0.95, candidates=cands).collect()
+    assert {(r["id_a"], r["id_b"]) for r in verified} == {(0, 6)}
+
+
+def test_candidate_scoped_jaccard_matches_unscoped(docs, spark):
+    # candidate-scoped intersection must equal the all-pairs result
+    # restricted to the candidate set
+    sigs = minhash_signatures(docs, num_hashes=8, shingle_k=2)
+    cands = lsh_candidate_pairs(sigs, num_hashes=8, band_size=1)
+    scoped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            docs, shingle_k=2, threshold=0.3, candidates=cands
+        ).collect()
+    }
+    unscoped = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, shingle_k=2, threshold=0.3).collect()
+    }
+    cand_pairs = {(r["id_a"] if "id_a" in r else r["doc_a"],
+                   r["id_b"] if "id_b" in r else r["doc_b"]) for r in cands.collect()}
+    assert scoped == {p: j for p, j in unscoped.items() if p in cand_pairs}
+
+
+def test_no_cross_product_in_scale_plans(spark):
+    # the driver entries for near-dup + jaccard must never plan a
+    # cartesian product (VERDICT r1 'as wired' regression)
+    import __spark_entry__ as entrymod
+
+    sf_dir = "/root/testdata/sf0.001"
+    for q in ("cosine_dup_pairs", "ngram_jaccard", "lsh_ann_topk"):
+        df = entrymod.queries()[q](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, q
+        assert "BroadcastNestedLoopJoin" not in plan, q
