@@ -52,6 +52,9 @@ from alp_spark.pipeline.similarity import srp_planes
 
 N_V = 1000  # graph vertex-id space (mod applied to lineitem keys)
 PR_ITERS = 5
+PPR_ROUNDS = 3  # pinned Pregel-PageRank round budget (oracle-unrollable)
+KCORE_SQL_ROUNDS = 110  # ≥ the 96 peel rounds the sf0.01 graph needs;
+# extra rounds are no-ops (all peeled → anypeel=0 → only k increments)
 KNN_SOURCE = 7
 LP_SEEDS = 50
 MINHASHES = 8
@@ -276,6 +279,14 @@ def q_pregel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select(ID, F.round("state", 6).alias("score"))
 
 
+def q_pregel_pagerank3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pregel PageRank pinned to max_rounds=3 (program runs at rounds
+    0..3) so the SQL oracle can unroll the superstep loop exactly —
+    score_r = α + (1-α)·Σ_{i→j} out_{r-1}[i], out_r = score_r/outdeg."""
+    res = pregel_pagerank(spark, _edges(spark, sf_dir), N_V, max_rounds=PPR_ROUNDS)
+    return res.state.select(ID, F.round("state", 6).alias("score"))
+
+
 # --------------------------------------------------------------------------
 # events: plain relational agg (timestamps ride through natively)
 # --------------------------------------------------------------------------
@@ -314,15 +325,26 @@ def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_tbl(spark, sf_dir, "documents"))
 
 
+def _docs_parallel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a round-robin repartition: the test corpora are
+    single-split parquet files, which would serialize the per-row hash
+    work (signatures, shingles) onto one core; one cheap shuffle of the
+    raw text buys full-width parallelism. On a real many-split corpus
+    the scan parallelism is already there and this is a no-op cost."""
+    return _tbl(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+
+
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_signatures(
-        _tbl(spark, sf_dir, "documents"), num_hashes=MINHASHES, shingle_k=2
+        _docs_parallel(spark, sf_dir), num_hashes=MINHASHES, shingle_k=2
     )
 
 
 def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = minhash_signatures(
-        _tbl(spark, sf_dir, "documents"), num_hashes=MINHASHES, shingle_k=2
+        _docs_parallel(spark, sf_dir), num_hashes=MINHASHES, shingle_k=2
     )
     return lsh_candidate_pairs(sigs, num_hashes=MINHASHES, band_size=BAND_SIZE)
 
@@ -331,7 +353,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-then-verify: exact n-gram Jaccard computed ONLY for MinHash
     band-collision candidates — candidate-proportional shuffle volume
     (hot shingles like 'of the' never cross-product)."""
-    docs = _tbl(spark, sf_dir, "documents")
+    docs = _docs_parallel(spark, sf_dir)
     sigs = minhash_signatures(docs, num_hashes=MINHASHES, shingle_k=2)
     cands = lsh_candidate_pairs(sigs, num_hashes=MINHASHES, band_size=BAND_SIZE)
     return ngram_jaccard_pairs(
@@ -401,6 +423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop1": q_label_prop1,
         "label_prop_converged": q_label_prop_converged,
         "pregel_pagerank": q_pregel_pagerank,
+        "pregel_pagerank3": q_pregel_pagerank3,
         "events_hourly": q_events_hourly,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -465,22 +488,122 @@ x AS (SELECT id, (id % 7)::DOUBLE AS v FROM range({N_V}) t(id)),
 SELECT id, round(v, 6) AS dist FROM y3"""
 
 
+def _pregel_pagerank3_sql() -> str:
+    """Unrolled Pregel-PageRank supersteps (pregel_pagerank.hpp:87-144):
+    s0: score=1, out=1/outdeg; s_r: score = α + (1-α)·Σ in-msgs,
+    out = score/outdeg where outdeg>0 else previous out."""
+    a = 0.15  # reference default alpha (pregel_pagerank.hpp:64)
+    steps = []
+    prev = "s0"
+    for r in range(1, PPR_ROUNDS + 1):
+        steps.append(f"""s{r} AS (
+  SELECT p.id,
+         {a} + {1 - a} * coalesce(m.msg, 0) AS score,
+         CASE WHEN d.d > 0
+              THEN ({a} + {1 - a} * coalesce(m.msg, 0)) / d.d
+              ELSE p.out END AS out
+  FROM {prev} p
+  LEFT JOIN (
+    SELECT e.dst AS id, sum(q.out) AS msg
+    FROM edges e JOIN {prev} q ON q.id = e.src
+    GROUP BY e.dst
+  ) m ON m.id = p.id
+  LEFT JOIN outdeg d ON d.id = p.id
+)""")
+        prev = f"s{r}"
+    joined = ",\n".join(steps)
+    return f"""WITH {E_SQL},
+outdeg AS (SELECT src AS id, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+v AS (SELECT id FROM range({N_V}) t(id)),
+s0 AS (
+  SELECT v.id, 1.0 AS score,
+         CASE WHEN coalesce(d.d, 0) > 0 THEN 1.0 / d.d ELSE 0.0 END AS out
+  FROM v LEFT JOIN outdeg d ON d.id = v.id
+),
+{joined}
+SELECT id, round(score, 6) AS score FROM {prev}"""
+
+
+def _kcore_sql(rounds: int = None) -> str:
+    """Unrolled peel rounds mirroring kcore_decomposition's loop exactly:
+    per round, either every alive vertex has deg > k (k increments) or
+    the peelable set takes core=k, dies, and decrements its neighbours.
+    Rounds beyond convergence are no-ops, so any rounds ≥ the graph's
+    actual peel count yields the converged coreness."""
+    rounds = rounds or KCORE_SQL_ROUNDS
+    steps = []
+    prev = "r0"
+    for t in range(1, rounds + 1):
+        steps.append(f"""s{t} AS MATERIALIZED (
+  SELECT max(CASE WHEN alive AND deg <= k THEN 1 ELSE 0 END) AS anypeel FROM {prev}
+),
+d{t} AS MATERIALIZED (
+  SELECT e.dst AS id, count(*) AS dec
+  FROM sym e JOIN {prev} p ON e.src = p.id AND p.alive AND p.deg <= p.k
+  GROUP BY e.dst
+),
+r{t} AS MATERIALIZED (
+  SELECT r.id,
+    CASE WHEN s.anypeel = 0 THEN r.deg
+         WHEN r.alive AND r.deg <= r.k THEN r.deg
+         ELSE r.deg - coalesce(d.dec, 0) END AS deg,
+    CASE WHEN s.anypeel = 1 AND r.alive AND r.deg <= r.k
+         THEN r.k ELSE r.core END AS core,
+    CASE WHEN s.anypeel = 1 AND r.alive AND r.deg <= r.k
+         THEN false ELSE r.alive END AS alive,
+    r.k + CASE WHEN s.anypeel = 0 THEN 1 ELSE 0 END AS k
+  FROM {prev} r CROSS JOIN s{t} s LEFT JOIN d{t} d ON d.id = r.id
+)""")
+        prev = f"r{t}"
+    joined = ",\n".join(steps)
+    return f"""WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_partkey % {N_V} AS src, l_suppkey % {N_V} AS dst
+  FROM lineitem
+  WHERE l_partkey % {N_V} <> l_suppkey % {N_V}
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+deg0 AS MATERIALIZED (SELECT src AS id, count(*) AS deg FROM sym GROUP BY src),
+r0 AS MATERIALIZED (
+  SELECT v.id, coalesce(d.deg, 0) AS deg, 0::BIGINT AS core,
+         true AS alive, 0::BIGINT AS k
+  FROM range({N_V}) v(id) LEFT JOIN deg0 d ON d.id = v.id
+),
+{joined}
+SELECT id, core AS coreness FROM {prev}"""
+
+
 def _minhash_sig_select() -> str:
+    # universal family over one md5 per shingle: r = first 56 digest
+    # bits mod p, sig_j = (a_j*r + b_j) mod p with seeded coefficients —
+    # mirrors alp_spark.pipeline.dedup.minhash_signatures bit-exactly
+    from alp_spark.pipeline.dedup import MINHASH_P, minhash_params
+
+    params = minhash_params(MINHASHES)
     sig_cols = ",\n       ".join(
-        f"list_min(list_transform(sh, x -> md5('{j}:' || x))) AS sig{j}"
+        "list_min(list_transform(hs, h -> "
+        f"({params[j][0]} * (('0x' || substr(h, 1, 14))::BIGINT % {MINHASH_P})"
+        f" + {params[j][1]}) % {MINHASH_P})) AS sig{j}"
         for j in range(MINHASHES)
     )
     return f"""{TOKS_SQL},
 s AS (
   SELECT doc_id,
-         list_transform(generate_series(1, greatest(len(toks) - 1, 1)),
-                        i -> array_to_string(list_slice(toks, i, i + 1), ' ')) AS sh
+         list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 1, 1)),
+            i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS sh
   FROM t
+),
+hx AS (
+  SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s
 ),
 sigs AS (
   SELECT doc_id,
        {sig_cols}
-  FROM s
+  FROM hx
 )"""
 
 
@@ -626,6 +749,8 @@ hop2 AS (
 )
 SELECT id, true AS reached FROM hop2""",
         "mpv3_minplus": _mpv3_sql(),
+        "pregel_pagerank3": _pregel_pagerank3_sql(),
+        "kcore": _kcore_sql(),
         "label_prop1": f"""WITH {E_SQL},
 {SYM_SQL},
 y0 AS (
@@ -683,7 +808,7 @@ SELECT * FROM sigs""",
         "lsh_dup_pairs": f"""WITH {_minhash_sig_select()},
 bands AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, {b} AS band, md5(sig{2 * b} || sig{2 * b + 1}) AS key FROM sigs"
+      f"SELECT doc_id, {b} AS band, sig{2 * b}::VARCHAR || ':' || sig{2 * b + 1}::VARCHAR AS key FROM sigs"
       for b in range(MINHASHES // BAND_SIZE)
   )}
 )
@@ -693,7 +818,7 @@ WHERE a.doc_id < b.doc_id""",
         "ngram_jaccard": f"""WITH {_minhash_sig_select()},
 bands AS (
   {" UNION ALL ".join(
-      f"SELECT doc_id, {b} AS band, md5(sig{2 * b} || sig{2 * b + 1}) AS key FROM sigs"
+      f"SELECT doc_id, {b} AS band, sig{2 * b}::VARCHAR || ':' || sig{2 * b + 1}::VARCHAR AS key FROM sigs"
       for b in range(MINHASHES // BAND_SIZE)
   )}
 ),

@@ -50,34 +50,76 @@ def shingles_col(tokens: Column, k: int = 2) -> Column:
     return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i, k)))
 
 
+#: Mersenne prime 2^31 - 1 — the modulus of the universal hash family
+MINHASH_P = 2_147_483_647
+
+
+def minhash_params(num_hashes: int, seed: int = 13) -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) coefficients of the universal family
+    sig_j = (a_j·r + b_j) mod p — exposed so SQL oracles can bake the
+    identical integer literals."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, MINHASH_P)), int(rng.randint(0, MINHASH_P)))
+        for _ in range(num_hashes)
+    ]
+
+
 def minhash_signatures(
     docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2
 ) -> DataFrame:
     """(doc_id, sig0..sig{H-1}) MinHash signature per document.
 
-    sig_j = min over shingles s of md5('j:' || s) — the j-th hash
-    family is seeded by prefixing the seed, min is lexicographic over
-    lowercase hex. Entirely per-row array math: zero shuffles.
+    ONE md5 per shingle (the digest was the dominant cost of the
+    signature build): r = the digest's first 56 bits mod p, and
+    sig_j = min over shingles of (a_j·r + b_j) mod p — the classic
+    universal family with seeded per-family coefficients, so the argmin
+    decorrelates across families (a shared additive term would make
+    adjacent bands collide together and wreck LSH selectivity). a_j·r <
+    2^61 keeps everything inside exact int64 on both engines. The
+    md5/substr/hex-parse subtree is shared across the H signature
+    columns by codegen subexpression elimination. Entirely per-row
+    array math: zero shuffles.
+
+    Mirror SQL: ``(a_j * (('0x' || substr(md5(x), 1, 14))::BIGINT %
+    2147483647) + b_j) % 2147483647`` — bit-exact across engines.
     """
-    sh = shingles_col(tokens_col(F.col("text")), shingle_k)
+    sh = F.array_distinct(shingles_col(tokens_col(F.col("text")), shingle_k))
+    rs = F.transform(
+        sh,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
+        % MINHASH_P,
+    )
+    params = minhash_params(num_hashes)
 
     def seeded_min(j: int):
-        # unary lambda only: a (s, j=...) form would bind the array index
-        return F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{j}:"), s)))
-        )
+        a, b = params[j]
+        # unary lambda only: an (r, j=...) form would bind the array index
+        return F.array_min(F.transform(rs, lambda r: (a * r + b) % MINHASH_P))
 
     cols = [seeded_min(j).alias(f"sig{j}") for j in range(num_hashes)]
     return docs.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, num_hashes: int = 8, band_size: int = 2
+    sigs: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs via banded LSH on a signature table.
 
-    Bands the signature into ``num_hashes/band_size`` groups, keys each
-    band by md5(concat(sigs in band)), self-joins on (band, key).
+    Bands the signature into ``num_hashes/band_size`` groups keyed by
+    the concatenated band signatures, then enumerates same-key pairs
+    with ONE groupBy per (band, key) bucket (sorted collect_set +
+    in-array pair expansion) — the signature expressions are evaluated
+    once, instead of once per side of a self-join. The bucket pair
+    expansion is inherently O(|bucket|²): ``max_bucket`` (when set)
+    drops buckets above that size — at web scale a mega-bucket is a
+    boilerplate dup-cluster whose pairs are better recovered from
+    exact_dedup; callers wanting exact LSH semantics leave it None.
     Returns distinct (doc_a, doc_b) with doc_a < doc_b.
     """
     n_bands = num_hashes // band_size
@@ -85,10 +127,9 @@ def lsh_candidate_pairs(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.md5(
-                    F.concat(
-                        *[F.col(f"sig{b * band_size + r}") for r in range(band_size)]
-                    )
+                F.concat_ws(
+                    ":",
+                    *[F.col(f"sig{b * band_size + r}") for r in range(band_size)],
                 ).alias("key"),
             )
             for b in range(n_bands)
@@ -97,12 +138,27 @@ def lsh_candidate_pairs(
     keyed = sigs.select(
         "doc_id", F.explode(bands).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-    a = keyed.select(F.col("doc_id").alias("doc_a"), "band", "key")
-    b = keyed.select(F.col("doc_id").alias("doc_b"), "band", "key")
+    buckets = (
+        keyed.groupBy("band", "key")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        .where(F.size("ids") > 1)
+    )
+    if max_bucket is not None:
+        buckets = buckets.where(F.size("ids") <= max_bucket)
+    # all i<j pairs inside a bucket: ids is sorted, so (ids[i], ids[j>i])
+    # is already (doc_a < doc_b)
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     return (
-        a.join(b, on=["band", "key"])
-        .where(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b")
+        buckets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
 
