@@ -53,6 +53,7 @@ from alp_spark.pipeline.similarity import srp_planes
 N_V = 1000  # graph vertex-id space (mod applied to lineitem keys)
 PR_ITERS = 5
 PPR_ROUNDS = 3  # pinned Pregel-PageRank round budget (oracle-unrollable)
+CG_ITERS = 3  # pinned CG iteration budget (oracle-unrollable)
 KCORE_SQL_ROUNDS = 110  # ≥ the 96 peel rounds the sf0.01 graph needs;
 # extra rounds are no-ops (all peeled → anypeel=0 → only k increments)
 KNN_SOURCE = 7
@@ -68,10 +69,11 @@ JACCARD_MIN = 0.2
 EMB_DIM = 64
 SRP_SEED = 7
 ANN_PLANES = 8
-# banded SRP for near-dup candidates: 4 bands x 4 bits — tuned for the
-# ~0.45-cosine dup tail at test scale (raise band_bits on larger corpora)
+# banded SRP for near-dup candidates: 4 bands x 8 bits — 8 bits/band
+# keeps the random-pair candidate rate ~1.6% (4 bits made band keys coin
+# flips on synthetic gaussian embeddings: 23% of ALL pairs were candidates)
 SRP_BANDS = 4
-SRP_BAND_BITS = 4
+SRP_BAND_BITS = 8
 
 
 # --------------------------------------------------------------------------
@@ -203,6 +205,52 @@ def q_top_rank_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("m.idx").alias("top_id"), F.col("m.val").alias("top_rank")
     )
+
+
+def _spd_system(spark: SparkSession, sf_dir: str):
+    """Laplacian + 2I over the symmetric driver graph (SPD by
+    construction): off-diagonal -1 per edge, diagonal deg+2; b_i =
+    ((i mod 10) + 1) / 10."""
+    sym = _sym_edges(spark, sf_dir)
+    offd = sym.select(SRC, DST, F.lit(-1.0).alias(VAL))
+    deg = sym.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("d"))
+    diag = (
+        spark.range(N_V)
+        .select(F.col("id").alias(ID))
+        .join(deg, on=ID, how="left")
+        .select(
+            F.col(ID).alias(SRC),
+            F.col(ID).alias(DST),
+            (F.coalesce(F.col("d"), F.lit(0)) + 2.0).alias(VAL),
+        )
+    )
+    A = offd.unionByName(diag)
+    b = spark.range(N_V).select(
+        F.col("id").alias(ID), ((F.col("id") % 10 + 1) / 10.0).alias(VAL)
+    )
+    return A, b
+
+
+def q_cg3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conjugate gradient (conjugate_gradient.hpp:208-426) pinned to 3
+    iterations (tol→0) so the SQL oracle can unroll the Krylov loop —
+    each iteration is one SpMV + two scalar reductions."""
+    from alp_spark.algorithms import conjugate_gradient
+
+    A, b = _spd_system(spark, sf_dir)
+    res = conjugate_gradient(spark, A, b, N_V, tol=1e-30, max_iterations=CG_ITERS)
+    return res.x.select(ID, F.round(VAL, 6).alias("x"))
+
+
+def q_bicgstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BiCGstab (bicgstab.hpp:160-480) to convergence — the adaptive
+    breakdown/stabilisation exits are not SQL-unrollable; rows-only
+    (pytest pins it against the NumPy oracle)."""
+    from alp_spark.algorithms import bicgstab
+
+    A, b = _spd_system(spark, sf_dir)
+    res = bicgstab(spark, A, b, N_V, tol=1e-6)
+    return res.x.select(ID, F.round(VAL, 6).alias("x"))
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -424,6 +472,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "label_prop_converged": q_label_prop_converged,
         "pregel_pagerank": q_pregel_pagerank,
         "pregel_pagerank3": q_pregel_pagerank3,
+        "cg3": q_cg3,
+        "bicgstab": q_bicgstab,
         "events_hourly": q_events_hourly,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
@@ -574,6 +624,69 @@ r0 AS MATERIALIZED (
 ),
 {joined}
 SELECT id, core AS coreness FROM {prev}"""
+
+
+def _cg3_sql() -> str:
+    """Unrolled conjugate-gradient iterations over the Laplacian+2I
+    system (mirrors algorithms/solvers.py:conjugate_gradient): per
+    iteration t = A·u, alpha = sigma/(u't), x += alpha·u, r -= alpha·t,
+    beta = r'r, u = r + (beta/sigma)·u, sigma = beta."""
+    steps = []
+    prev, prev_sig = "st0", "sc0"
+    for k in range(1, CG_ITERS + 1):
+        u_update = (
+            f"""s.r + (b{k}.beta / {prev_sig}.sigma) * s.u AS u"""
+            if k < CG_ITERS
+            else "s.u AS u"  # the loop breaks before the final u update
+        )
+        steps.append(f"""t{k} AS MATERIALIZED (
+  SELECT a.src AS id, sum(a.val * s.u) AS t
+  FROM A a JOIN {prev} s ON s.id = a.dst GROUP BY a.src
+),
+d{k} AS MATERIALIZED (
+  SELECT sum(s.u * t.t) AS denom FROM {prev} s JOIN t{k} t ON s.id = t.id
+),
+sx{k} AS MATERIALIZED (
+  SELECT s.id,
+         s.x + ({prev_sig}.sigma / d.denom) * s.u AS x,
+         s.r - ({prev_sig}.sigma / d.denom) * coalesce(t.t, 0) AS r,
+         s.u AS u
+  FROM {prev} s LEFT JOIN t{k} t ON t.id = s.id
+  CROSS JOIN {prev_sig} CROSS JOIN d{k} d
+),
+b{k} AS MATERIALIZED (SELECT sum(r * r) AS beta FROM sx{k}),
+st{k} AS MATERIALIZED (
+  SELECT s.id, s.x, s.r, {u_update}
+  FROM sx{k} s CROSS JOIN b{k} CROSS JOIN {prev_sig}
+),
+sc{k} AS MATERIALIZED (SELECT beta AS sigma FROM b{k})""")
+        prev, prev_sig = f"st{k}", f"sc{k}"
+    joined = ",\n".join(steps)
+    return f"""WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_partkey % {N_V} AS src, l_suppkey % {N_V} AS dst
+  FROM lineitem
+  WHERE l_partkey % {N_V} <> l_suppkey % {N_V}
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+A AS MATERIALIZED (
+  SELECT src, dst, -1.0 AS val FROM sym
+  UNION ALL
+  SELECT v.id AS src, v.id AS dst, coalesce(d.d, 0) + 2.0 AS val
+  FROM range({N_V}) v(id)
+  LEFT JOIN (SELECT src, count(*) AS d FROM sym GROUP BY src) d ON d.src = v.id
+),
+st0 AS MATERIALIZED (
+  SELECT id, 0.0 AS x, ((id % 10) + 1) / 10.0 AS r,
+         ((id % 10) + 1) / 10.0 AS u
+  FROM range({N_V}) t(id)
+),
+sc0 AS MATERIALIZED (SELECT sum(r * r) AS sigma FROM st0),
+{joined}
+SELECT id, round(x, 6) AS x FROM st{CG_ITERS}"""
 
 
 def _minhash_sig_select() -> str:
@@ -750,6 +863,7 @@ hop2 AS (
 SELECT id, true AS reached FROM hop2""",
         "mpv3_minplus": _mpv3_sql(),
         "pregel_pagerank3": _pregel_pagerank3_sql(),
+        "cg3": _cg3_sql(),
         "kcore": _kcore_sql(),
         "label_prop1": f"""WITH {E_SQL},
 {SYM_SQL},

@@ -6,4 +6,5 @@ from .label_propagation import label_propagation  # noqa: F401
 from .mpv import knn, mpv  # noqa: F401
 from .pregel_pagerank import pregel_pagerank  # noqa: F401
 from .simple_pagerank import simple_pagerank  # noqa: F401
+from .solvers import bicgstab, conjugate_gradient  # noqa: F401
 from .triangles import triangle_count  # noqa: F401

@@ -1,0 +1,264 @@
+"""Krylov solvers: conjugate gradient and BiCGstab.
+
+Transliterate the reference algorithms
+(include/graphblas/algorithms/conjugate_gradient.hpp:208-426 and
+include/graphblas/algorithms/bicgstab.hpp:160-480) as compositions of
+the engine's own primitives: every vector op is a Column expression over
+ONE fused state DataFrame ``(id, x, r, u, ...)`` (the analog of ALP's
+registered dense vectors), every SpMV is one edge-join + groupBy
+(operators.mxv), and every scalar reduction (dot) is one driver action —
+ALP's ``grb::dot`` allreduce. The state frame is localCheckpoint'ed per
+iteration to truncate lineage.
+
+Reference parity notes:
+- CG stops when sqrt(r'r) < tol·sqrt(b'b) or FAILED at max_iterations
+  (conjugate_gradient.hpp:326-395); per iteration: 1 SpMV + 2 scalar
+  reductions (u'Au and the new r'r), exactly the reference count.
+- BiCGstab squares the relative tolerance (tol² · b'b,
+  bicgstab.hpp:278-279), has the pre-/post-stabilisation exits and the
+  rho/alpha-denominator/omega-denominator breakdown FAILED paths
+  (bicgstab.hpp:339/371/417).
+
+Scale: per-iteration cost is one (or two) edge shuffles + O(1)-row
+collects; the state frame is n rows × a handful of doubles. The solvers
+target SPD / square systems, not the link-graph hot path — they exist
+for reference algorithm-surface parity (smoketests.sh gyro_m pair).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import algebra as alg
+from ..containers import ID, VAL, set_dense
+from ..operators import mxv
+
+
+@dataclass
+class SolveResult:
+    x: DataFrame  # (id, val)
+    iterations: int
+    residual: float  # CG: sqrt(r'r); BiCGstab: (r'r) — reference conventions
+    converged: bool  # False ⇔ reference FAILED
+
+
+def _state_mxv(A: DataFrame, state: DataFrame, col: str, n: int) -> DataFrame:
+    """(id, t) = A · state[col] via the engine mxv (one shuffle)."""
+    v = state.select(ID, F.col(col).alias(VAL))
+    t = mxv(A, v, alg.PLUS_TIMES, strategy="auto", frontier_nnz=n)
+    return t.select(ID, F.col(VAL).alias("_t"))
+
+
+def _join_t(state: DataFrame, t: DataFrame) -> DataFrame:
+    return state.join(t, on=ID, how="left").withColumn(
+        "_t", F.coalesce(F.col("_t"), F.lit(0.0))
+    )
+
+
+def conjugate_gradient(
+    spark: SparkSession,
+    A: DataFrame,  # (src, dst, val) symmetric positive definite
+    b: DataFrame,  # (id, val) dense
+    n: int,
+    x0: DataFrame | None = None,
+    tol: float = 1e-5,
+    max_iterations: int = 1000,
+) -> SolveResult:
+    """Solve Ax = b (conjugate_gradient.hpp:208-426).
+
+    Stops when sqrt(r'r) < tol·sqrt(b'b); ``converged=False`` mirrors the
+    reference FAILED code at the iteration cap."""
+    if tol <= 0:
+        raise ValueError("tol must be positive (reference ILLEGAL)")
+    x_init = x0 if x0 is not None else set_dense(spark, n, 0.0)
+
+    # r = b - A x0;  u = r  (conjugate_gradient.hpp:283-298)
+    st = (
+        x_init.select(ID, F.col(VAL).alias("x"))
+        .join(b.select(ID, F.col(VAL).alias("_b")), on=ID, how="left")
+        .withColumn("_b", F.coalesce(F.col("_b"), F.lit(0.0)))
+    )
+    t0 = _state_mxv(A, st, "x", n)
+    st = (
+        _join_t(st, t0)
+        .select(
+            ID,
+            "x",
+            (F.col("_b") - F.col("_t")).alias("r"),
+            (F.col("_b") - F.col("_t")).alias("u"),
+            "_b",
+        )
+        .localCheckpoint(eager=True)
+    )
+    row = st.agg(
+        F.sum(F.col("r") * F.col("r")).alias("sigma"),
+        F.sum(F.col("_b") * F.col("_b")).alias("bnorm"),
+    ).collect()[0]
+    sigma = float(row["sigma"] or 0.0)
+    bnorm = float(row["bnorm"] or 0.0)
+    eff_tol = tol * math.sqrt(bnorm)  # (conjugate_gradient.hpp:327)
+    st = st.drop("_b")
+
+    residual = sigma
+    iters = 0
+    if math.sqrt(residual) >= eff_tol:
+        while True:
+            iters += 1
+            # temp = A u; beta = u' A u  (:338-360)
+            st2 = _join_t(st, _state_mxv(A, st, "u", n)).localCheckpoint(eager=True)
+            denom = st2.agg(F.sum(F.col("u") * F.col("_t")).alias("d")).collect()[0]["d"]
+            alpha = sigma / float(denom)
+            # x += alpha u; r -= alpha (A u)  (:366-376)
+            st3 = st2.select(
+                ID,
+                (F.col("x") + alpha * F.col("u")).alias("x"),
+                (F.col("r") - alpha * F.col("_t")).alias("r"),
+                "u",
+            ).localCheckpoint(eager=True)
+            residual = float(
+                st3.agg(F.sum(F.col("r") * F.col("r")).alias("b")).collect()[0]["b"]
+            )
+            if math.sqrt(residual) < eff_tol or iters >= max_iterations:
+                st = st3
+                break
+            # u = r + (beta/sigma) u; sigma = beta  (:399-412)
+            alpha2 = residual / sigma
+            st = st3.select(
+                ID, "x", "r", (F.col("r") + alpha2 * F.col("u")).alias("u")
+            )
+            sigma = residual
+
+    return SolveResult(
+        x=st.select(ID, F.col("x").alias(VAL)),
+        iterations=iters,
+        residual=math.sqrt(residual),
+        converged=math.sqrt(residual) < eff_tol,
+    )
+
+
+def bicgstab(
+    spark: SparkSession,
+    A: DataFrame,  # (src, dst, val) square (need not be symmetric)
+    b: DataFrame,  # (id, val) dense
+    n: int,
+    x0: DataFrame | None = None,
+    tol: float = 1e-5,
+    max_iterations: int = 1000,
+) -> SolveResult:
+    """Solve Ax = b by stabilised bi-conjugate gradients
+    (bicgstab.hpp:160-480). Residual convention is the SQUARED 2-norm
+    checked against tol²·(b'b) (bicgstab.hpp:278-311)."""
+    if tol <= 0:
+        raise ValueError("tol must be positive (reference ILLEGAL)")
+    x_init = x0 if x0 is not None else set_dense(spark, n, 0.0)
+
+    st = (
+        x_init.select(ID, F.col(VAL).alias("x"))
+        .join(b.select(ID, F.col(VAL).alias("_b")), on=ID, how="left")
+        .withColumn("_b", F.coalesce(F.col("_b"), F.lit(0.0)))
+    )
+    t0 = _state_mxv(A, st, "x", n)
+    # r = b - Ax; rhat = r (fixed shadow); p = v = 0  (bicgstab.hpp:283-321)
+    st = (
+        _join_t(st, t0)
+        .select(
+            ID,
+            "x",
+            (F.col("_b") - F.col("_t")).alias("r"),
+            (F.col("_b") - F.col("_t")).alias("rhat"),
+            F.lit(0.0).alias("p"),
+            F.lit(0.0).alias("v"),
+            "_b",
+        )
+        .localCheckpoint(eager=True)
+    )
+    row = st.agg(
+        F.sum(F.col("r") * F.col("r")).alias("res"),
+        F.sum(F.col("_b") * F.col("_b")).alias("bnorm"),
+    ).collect()[0]
+    residual = float(row["res"] or 0.0)
+    eff_tol = tol * tol * float(row["bnorm"] or 0.0)  # (bicgstab.hpp:278-279)
+    st = st.drop("_b")
+
+    if residual < eff_tol:
+        return SolveResult(
+            x=st.select(ID, F.col("x").alias(VAL)),
+            iterations=0, residual=residual, converged=True,
+        )
+
+    rho_old = alpha = omega = 1.0
+    iters = 0
+    converged = False
+    while iters < max_iterations:
+        iters += 1
+        # rho = (rhat, r); breakdown → FAILED  (bicgstab.hpp:333-343)
+        rho = float(
+            st.agg(F.sum(F.col("rhat") * F.col("r")).alias("v")).collect()[0]["v"]
+        )
+        if rho == 0.0:
+            break
+        beta = (rho / rho_old) * (alpha / omega)
+        # p = r + beta (p - omega v)  (:353-363)
+        st = st.withColumn(
+            "p", F.col("r") + beta * (F.col("p") - omega * F.col("v"))
+        )
+        # v = A p; alpha = rho / (rhat, v)  (:366-378)
+        st = (
+            _join_t(st.drop("v"), _state_mxv(A, st, "p", n))
+            .withColumnRenamed("_t", "v")
+            .localCheckpoint(eager=True)
+        )
+        denom = float(
+            st.agg(F.sum(F.col("rhat") * F.col("v")).alias("d")).collect()[0]["d"]
+        )
+        if denom == 0.0:
+            break
+        alpha = rho / denom
+        # s = r - alpha v; pre-stabilisation exit  (:385-406)
+        st = st.withColumn("s", F.col("r") - alpha * F.col("v"))
+        residual = float(
+            st.agg(F.sum(F.col("s") * F.col("s")).alias("r")).collect()[0]["r"]
+        )
+        if residual < eff_tol:
+            st = st.select(
+                ID, (F.col("x") + alpha * F.col("p")).alias("x"),
+                "r", "rhat", "p", "v",
+            )
+            converged = True
+            break
+        # t = A s; omega = (t,s)/(t,t)  (:409-429)
+        st = _join_t(st, _state_mxv(A, st, "s", n)).localCheckpoint(eager=True)
+        row = st.agg(
+            F.sum(F.col("_t") * F.col("s")).alias("ts"),
+            F.sum(F.col("_t") * F.col("_t")).alias("tt"),
+        ).collect()[0]
+        ts, tt = float(row["ts"]), float(row["tt"])
+        if ts == 0.0:
+            st = st.drop("s", "_t")
+            break
+        omega = ts / tt
+        # x += alpha p + omega s; r = s - omega t  (:432-442)
+        st = st.select(
+            ID,
+            (F.col("x") + alpha * F.col("p") + omega * F.col("s")).alias("x"),
+            (F.col("s") - omega * F.col("_t")).alias("r"),
+            "rhat", "p", "v",
+        ).localCheckpoint(eager=True)
+        residual = float(
+            st.agg(F.sum(F.col("r") * F.col("r")).alias("r")).collect()[0]["r"]
+        )
+        if residual < eff_tol:
+            converged = True
+            break
+        rho_old = rho
+
+    return SolveResult(
+        x=st.select(ID, F.col("x").alias(VAL)),
+        iterations=iters,
+        residual=residual,
+        converged=converged,
+    )

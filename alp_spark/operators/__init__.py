@@ -2,7 +2,9 @@
 
 from .blas1 import (  # noqa: F401
     apply_mask,
+    cosine_similarity,
     dot,
+    norm2,
     e_wise_add,
     e_wise_apply,
     e_wise_apply_scalar,

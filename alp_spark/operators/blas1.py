@@ -143,6 +143,33 @@ def dot(
     return add_monoid.identity if row["acc"] is None else row["acc"]
 
 
+def norm2(x: DataFrame, add_monoid: Monoid | None = None) -> float:
+    """||x||₂ = sqrt(⟨x, x⟩) (algorithms/norm.hpp:76-87: a dot on itself
+    followed by the scalar sqrt, which lives outside the semiring)."""
+    import math
+
+    from .. import algebra as alg
+
+    add_monoid = add_monoid or alg.PLUS
+    return math.sqrt(float(dot(x, x, add_monoid, alg.mul)))
+
+
+def cosine_similarity(x: DataFrame, y: DataFrame) -> float:
+    """α = ⟨x,y⟩ / (||x||₂·||y||₂)
+    (algorithms/cosine_similarity.hpp:57/160-207). Mirrors the reference
+    corner cases: zero denominator → error (ILLEGAL analog), zero
+    nominator → 0. Three dots = three single-shuffle jobs; the fused
+    one-pass variant over a zipped frame is ``e_wise_lambda`` territory
+    if it ever matters."""
+    from .. import algebra as alg
+
+    nominator = float(dot(x, y, alg.PLUS, alg.mul))
+    denominator = norm2(x) * norm2(y)
+    if denominator == 0.0:
+        raise ValueError("cosine_similarity of a zero-norm vector")
+    return nominator / denominator
+
+
 def e_wise_map(x: DataFrame, fn) -> DataFrame:
     """Unary map over present entries (eWiseMap, reference/blas1.hpp:9685).
     ``fn`` is a Column→Column builder — stays in codegen."""

@@ -17,6 +17,7 @@ from .text import (  # noqa: F401
     tokens_col,
 )
 from .dedup import (  # noqa: F401
+    bucket_pairs,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,

@@ -18,6 +18,8 @@ byte-for-byte (lexicographic min over hex digests is engine-portable).
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -138,27 +140,42 @@ def lsh_candidate_pairs(
     keyed = sigs.select(
         "doc_id", F.explode(bands).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    return bucket_pairs(keyed, "doc_id", "doc_a", "doc_b", max_bucket=max_bucket)
+
+
+def bucket_pairs(
+    keyed: DataFrame,
+    id_col: str,
+    out_a: str,
+    out_b: str,
+    bucket_cols: Sequence[str] = ("band", "key"),
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (a < b) id pairs sharing any bucket: ONE groupBy +
+    sorted collect_set + in-array i<j expansion — the shared candidate
+    enumeration of every banded-LSH family (MinHash, SRP). The bucket
+    expressions are evaluated once, never per self-join side."""
     buckets = (
-        keyed.groupBy("band", "key")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ids"))
+        keyed.groupBy(*bucket_cols)
+        .agg(F.array_sort(F.collect_set(id_col)).alias("ids"))
         .where(F.size("ids") > 1)
     )
     if max_bucket is not None:
         buckets = buckets.where(F.size("ids") <= max_bucket)
     # all i<j pairs inside a bucket: ids is sorted, so (ids[i], ids[j>i])
-    # is already (doc_a < doc_b)
+    # is already ordered
     pairs = F.flatten(
         F.transform(
             F.col("ids"),
             lambda x, i: F.transform(
                 F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
             ),
         )
     )
     return (
         buckets.select(F.explode(pairs).alias("p"))
-        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .select(F.col("p.a").alias(out_a), F.col("p.b").alias(out_b))
         .distinct()
     )
 

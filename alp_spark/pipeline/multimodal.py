@@ -2,13 +2,15 @@
 
 Images/audio/video ride through the engine as ``binary`` columns with a
 typed metadata struct; decode / feature-extract / resize / frame-sample
-run as Arrow-batched ``mapInPandas`` stages. The actual codec step is
-STUBBED (no image/audio libs in this container): ``decode=`` selects
-either the deterministic fake decoder (for tests — pixels derived from
-the payload bytes, so downstream math is real and repeatable) or the
-real-decoder placeholder that raises ``NotImplementedError`` with the
-integration point documented. The Spark-side plumbing — schema,
-partitioning, batch iteration, output shapes — is real and tested.
+run as Arrow-batched ``mapInPandas`` stages. ``decode=`` selects either
+the deterministic fake decoder (pixels derived from payload bytes — for
+tests over opaque payloads) or the REAL decoder, which parses genuine
+uncompressed formats with the stdlib alone: binary netpbm images
+(P5/P6), PCM WAV audio, and RAWV raw-frame video. Compressed codecs
+(JPEG/MP3/H.264) have no parser in this container and raise
+``NotImplementedError`` at the documented integration point. The
+Spark-side plumbing — schema, partitioning, batch iteration, output
+shapes — is identical for every decoder.
 
 Scale notes: payloads never shuffle — every stage is mapInPandas
 (narrow, partition-local); only extracted features (small fixed-size
@@ -66,11 +68,63 @@ def _fake_decode(payload: bytes, n: int = 64) -> np.ndarray:
     return raw.astype(np.float32) / 256.0
 
 
+def _resample(vals: np.ndarray, n: int) -> np.ndarray:
+    """Linear-resample an intensity sequence to a fixed length n."""
+    if len(vals) == 0:
+        return np.zeros(n, dtype=np.float32)
+    if len(vals) == n:
+        return vals.astype(np.float32)
+    xp = np.linspace(0.0, 1.0, len(vals))
+    x = np.linspace(0.0, 1.0, n)
+    return np.interp(x, xp, vals).astype(np.float32)
+
+
+def _decode_netpbm(payload: bytes) -> np.ndarray:
+    """Binary netpbm (P5 grayscale / P6 RGB) → intensities in [0, 1)."""
+    parts = payload.split(maxsplit=4)  # magic, w, h, maxval, raster
+    magic, w, h, maxval = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
+    raster = payload[payload.index(parts[3]) + len(parts[3]) + 1 :]
+    ch = 3 if magic == b"P6" else 1
+    px = np.frombuffer(raster[: w * h * ch], dtype=np.uint8).astype(np.float32)
+    if ch == 3:
+        px = px.reshape(-1, 3).mean(axis=1)  # luma = plain RGB mean
+    return px / (maxval + 1.0)
+
+
+def _decode_wav(payload: bytes) -> np.ndarray:
+    """PCM WAV (stdlib ``wave``) → mono samples in [0, 1)."""
+    import io
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        raw = wf.readframes(wf.getnframes())
+        width = wf.getsampwidth()
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[width]
+    samples = np.frombuffer(raw, dtype=dtype).astype(np.float32)
+    lo = float(np.iinfo(dtype).min)
+    span = float(np.iinfo(dtype).max) - lo + 1.0
+    return (samples - lo) / span
+
+
 def _real_decode(payload: bytes, n: int = 64) -> np.ndarray:
+    """Stdlib-only decode of genuine uncompressed formats: binary netpbm
+    images (P5/P6), PCM WAV audio (RIFF), and RAWV (4-byte magic +
+    concatenated raw RGB frames — the synthesize_media video format).
+    Returns n intensities in [0, 1). Compressed codecs (JPEG/MP3/H.264)
+    need Pillow/ffmpeg/torchaudio — plug them in here; the Spark
+    plumbing (mapInPandas batching, schema, partitioning) is unchanged."""
+    if payload is None or len(payload) == 0:
+        return np.zeros(n, dtype=np.float32)
+    if payload[:2] in (b"P5", b"P6"):
+        return _resample(_decode_netpbm(payload), n)
+    if payload[:4] == b"RIFF":
+        return _resample(_decode_wav(payload), n)
+    if payload[:4] == b"RAWV":
+        px = np.frombuffer(payload[4:], dtype=np.uint8).astype(np.float32)
+        return _resample(px / 256.0, n)
     raise NotImplementedError(
-        "real media decode requires Pillow/ffmpeg/torchaudio — plug the "
-        "codec in here; the Spark plumbing (mapInPandas batching, schema, "
-        "partitioning) is unchanged"
+        "compressed codec decode (JPEG/MP3/H.264/...) requires "
+        "Pillow/ffmpeg/torchaudio — plug the codec in here"
     )
 
 
@@ -103,11 +157,11 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     return media.mapInPandas(run, schema=FEATURES_SCHEMA)
 
 
-def sample_frames(media: DataFrame, every: int = 2, decode: str = "fake") -> DataFrame:
+def sample_frames(media: DataFrame, every: int = 2) -> DataFrame:
     """video rows → one row per sampled frame (frame_idx stepped by
-    ``every``), payload sliced per frame. Fan-out stays partition-local."""
-    if decode != "fake":
-        _real_decode(b"")
+    ``every``), payload sliced per frame (RAWV payloads: the 4-byte
+    magic is stripped so slices align to whole frames). Fan-out stays
+    partition-local."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -115,6 +169,8 @@ def sample_frames(media: DataFrame, every: int = 2, decode: str = "fake") -> Dat
             for _, row in pdf.iterrows():
                 n = int(row["n_frames"] or 0)
                 payload = row["payload"] or b""
+                if payload[:4] == b"RAWV":
+                    payload = payload[4:]
                 if n <= 0:
                     continue
                 step = max(len(payload) // n, 1)
@@ -129,22 +185,54 @@ def sample_frames(media: DataFrame, every: int = 2, decode: str = "fake") -> Dat
     return media.where("kind = 'video'").mapInPandas(run, schema=FRAME_SCHEMA)
 
 
-def synthesize_media(spark, n: int = 20, seed: int = 13) -> DataFrame:
-    """Deterministic fake media table for tests/benches."""
+def _wav_bytes(samples: np.ndarray, rate: int = 8000) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(samples.astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def synthesize_media(
+    spark, n: int = 20, seed: int = 13, format: str = "opaque"
+) -> DataFrame:
+    """Deterministic media table for tests/benches.
+
+    ``format='opaque'``: random bytes (pair with decode='fake').
+    ``format='raw'``: REAL uncompressed payloads the real decoder parses
+    — P6 netpbm images, PCM WAV audio, RAWV raw-frame video."""
     rng = np.random.RandomState(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.randint(0, 256, size=32 + (i % 5) * 16, dtype=np.uint8))
+        w, h = 8, 6
+        frames = 8 + i % 4 if kind == "video" else None
+        if format == "opaque":
+            payload = bytes(rng.randint(0, 256, size=32 + (i % 5) * 16, dtype=np.uint8))
+        elif kind == "image":
+            px = rng.randint(0, 256, size=w * h * 3, dtype=np.uint8)
+            payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
+        elif kind == "audio":
+            payload = _wav_bytes(
+                (rng.standard_normal(256) * 8000).clip(-32768, 32767)
+            )
+        else:
+            px = rng.randint(0, 256, size=frames * w * h * 3, dtype=np.uint8)
+            payload = b"RAWV" + px.tobytes()
         rows.append(
             (
                 i,
                 kind,
                 payload,
-                64 if kind == "image" else None,
-                48 if kind == "image" else None,
-                8 + i % 4 if kind == "video" else None,
+                w if kind != "audio" else None,
+                h if kind != "audio" else None,
+                frames,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)

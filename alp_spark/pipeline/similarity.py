@@ -16,6 +16,7 @@ sort before the final k-row shuffle.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -97,22 +98,34 @@ def cosine_dup_pairs(
     to same-block pairs. Omit both for exact all-pairs at small scale.
     """
     if candidates is not None:
+        # norms are per-vector, not per-pair: compute them ONCE in the
+        # projections so the verify costs one dot per candidate pair
+        # (the expression dot/(norm_a*norm_b) is float-identical to
+        # cosine(), so SQL oracles keep the plain cosine formula)
         j = (
             candidates.join(
                 emb.select(
-                    F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va")
+                    F.col(id_col).alias("id_a"),
+                    F.col(vec_col).alias("_va"),
+                    _norm(F.col(vec_col)).alias("_na"),
                 ),
                 on="id_a",
             )
             .join(
                 emb.select(
-                    F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb")
+                    F.col(id_col).alias("id_b"),
+                    F.col(vec_col).alias("_vb"),
+                    _norm(F.col(vec_col)).alias("_nb"),
                 ),
                 on="id_b",
             )
         )
         return (
-            j.select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_cos"))
+            j.select(
+                "id_a",
+                "id_b",
+                (_dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("_cos"),
+            )
             .where(F.col("_cos") >= threshold)
             .select("id_a", "id_b", F.round("_cos", 5).alias("cos"))
         )
@@ -146,6 +159,34 @@ def srp_planes(dim: int, n_planes: int = 8, seed: int = 7) -> np.ndarray:
     return np.random.RandomState(seed).standard_normal((n_planes, dim))
 
 
+def srp_bits(vec: Column, dim: int, n_planes: int, seed: int = 7) -> Column:
+    """All ``n_planes`` SRP sign bits of an embedding as one bit string,
+    via ONE Arrow-batched pandas UDF (the sanctioned UDF escape hatch:
+    n_planes interpreted higher-order ``aggregate`` lambdas per row were
+    the hot spot, and unrolled literal expressions blow up codegen past
+    32 planes). The accumulation loops dimensions EXPLICITLY so each dot
+    is the same left-to-right float64 sum as ``_dot`` / DuckDB's
+    list_dot_product — sign bits stay bit-identical across engines."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = srp_planes(dim, n_planes, seed)
+
+    @pandas_udf("string")
+    def _bits(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.stack(v.to_numpy()).astype(np.float64)
+        cols = []
+        for p in planes:
+            acc = np.zeros(len(V))
+            for d in range(V.shape[1]):  # sequential in d — order matters
+                acc += V[:, d] * p[d]
+            cols.append(np.where(acc > 0, "1", "0"))
+        return pd.Series(["".join(t) for t in zip(*cols)])
+
+    return _bits(vec)
+
+
 def srp_bucket(
     vec: Column, dim: int, n_planes: int = 8, seed: int = 7
 ) -> Column:
@@ -155,12 +196,7 @@ def srp_bucket(
     Gaussian sample baked into the plan as literals — every executor
     (and every rerun) sees identical planes.
     """
-    planes = srp_planes(dim, n_planes, seed)
-    bits = []
-    for p in planes:
-        lit = F.array(*[F.lit(float(w)) for w in p])
-        bits.append(F.when(_dot(vec, lit) > 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return srp_bits(vec, dim, n_planes, seed)
 
 
 def srp_candidate_pairs(
@@ -183,34 +219,22 @@ def srp_candidate_pairs(
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    planes = srp_planes(dim, n_bands * band_bits, seed)
-
-    def band_key(b: int) -> Column:
-        bits = []
-        for r in range(band_bits):
-            lit = F.array(*[F.lit(float(w)) for w in planes[b * band_bits + r]])
-            bits.append(
-                F.when(_dot(F.col(vec_col), lit) > 0, F.lit("1")).otherwise(F.lit("0"))
-            )
-        return F.concat(*bits)
-
+    bits = srp_bits(F.col(vec_col), dim, n_bands * band_bits, seed)
     bands = F.array(
         *[
-            F.struct(F.lit(b).alias("band"), band_key(b).alias("key"))
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring(bits, b * band_bits + 1, band_bits).alias("key"),
+            )
             for b in range(n_bands)
         ]
     )
     keyed = emb.select(F.col(id_col).alias("doc"), F.explode(bands).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
-    a = keyed.select(F.col("doc").alias("id_a"), "band", "key")
-    b = keyed.select(F.col("doc").alias("id_b"), "band", "key")
-    return (
-        a.join(b, on=["band", "key"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    from .dedup import bucket_pairs
+
+    return bucket_pairs(keyed, "doc", "id_a", "id_b")
 
 
 def lsh_ann_topk(

@@ -40,8 +40,10 @@ HEADLINE = [
     "khop2",
     "exact_dedup",
     "lsh_dup_pairs",
+    "ngram_jaccard",
     "simhash",
     "ann_topk",
+    "cosine_dup_pairs",
     "token_stats",
     "events_hourly",
 ]
@@ -89,6 +91,13 @@ def main() -> None:
     )
     ap.add_argument("--queries", default=",".join(HEADLINE))
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--repeats",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")),
+        help="outer repetitions per query (avg/std reported — the "
+        "reference Benchmarker outer-loop protocol, base/benchmark.hpp:64-71)",
+    )
     args = ap.parse_args()
 
     sf_dir = args.sf_dir
@@ -109,13 +118,28 @@ def main() -> None:
     # processes are long-lived; one tiny count() is the fair analog).
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
+    # outer-repetition protocol (base/benchmark.hpp:64-71): avg/std over
+    # --repeats runs per query so round-over-round regressions are
+    # distinguishable from host noise. `queries` carries the avg (the
+    # per-round comparable number); std rides in `queries_std`.
     timings: dict[str, float] = {}
+    stds: dict[str, float] = {}
     for name in names:
-        t0 = time.monotonic()
-        df = qmap[name](spark, sf_dir)
-        n_rows = df.count()
-        timings[name] = round(time.monotonic() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
+        runs = []
+        for rep in range(max(args.repeats, 1)):
+            t0 = time.monotonic()
+            df = qmap[name](spark, sf_dir)
+            n_rows = df.count()
+            runs.append(time.monotonic() - t0)
+        avg = sum(runs) / len(runs)
+        var = sum((t - avg) ** 2 for t in runs) / len(runs)
+        timings[name] = round(avg, 3)
+        stds[name] = round(var ** 0.5, 3)
+        print(
+            f"# {name}: avg {avg:.3f}s ± {stds[name]:.3f} over {len(runs)} "
+            f"({n_rows} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
 
@@ -136,6 +160,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_std": stds,
+                "repeats": max(args.repeats, 1),
                 "sf": sf,
                 **extras,
             }

@@ -228,3 +228,82 @@ def kcore(n: int, edges) -> np.ndarray:
                     if deg[u] <= k:
                         peel.append(u)
     return core
+
+
+def conjugate_gradient(n, entries, b, tol=1e-5, max_iterations=1000):
+    """conjugate_gradient.hpp:208-426: CG with tol scaled by sqrt(b'b);
+    same update order and stopping rule as the engine."""
+    A = np.zeros((n, n))
+    for s, d, w in entries:
+        A[s, d] = w
+    x = np.zeros(n)
+    r = b - A @ x
+    u = r.copy()
+    sigma = float(r @ r)
+    eff_tol = tol * np.sqrt(float(b @ b))
+    residual = sigma
+    iters = 0
+    if np.sqrt(residual) >= eff_tol:
+        while True:
+            iters += 1
+            t = A @ u
+            alpha = sigma / float(u @ t)
+            x = x + alpha * u
+            r = r - alpha * t
+            residual = float(r @ r)
+            if np.sqrt(residual) < eff_tol or iters >= max_iterations:
+                break
+            u = r + (residual / sigma) * u
+            sigma = residual
+    return x, iters, np.sqrt(residual), np.sqrt(residual) < eff_tol
+
+
+def bicgstab(n, entries, b, tol=1e-5, max_iterations=1000):
+    """bicgstab.hpp:160-480 with the squared-tolerance convention and
+    pre-/post-stabilisation exits."""
+    A = np.zeros((n, n))
+    for s, d, w in entries:
+        A[s, d] = w
+    x = np.zeros(n)
+    r = b - A @ x
+    rhat = r.copy()
+    p = np.zeros(n)
+    v = np.zeros(n)
+    residual = float(r @ r)
+    eff_tol = tol * tol * float(b @ b)
+    if residual < eff_tol:
+        return x, 0, residual, True
+    rho_old = alpha = omega = 1.0
+    iters = 0
+    converged = False
+    while iters < max_iterations:
+        iters += 1
+        rho = float(rhat @ r)
+        if rho == 0.0:
+            break
+        beta = (rho / rho_old) * (alpha / omega)
+        p = r + beta * (p - omega * v)
+        v = A @ p
+        denom = float(rhat @ v)
+        if denom == 0.0:
+            break
+        alpha = rho / denom
+        s = r - alpha * v
+        residual = float(s @ s)
+        if residual < eff_tol:
+            x = x + alpha * p
+            converged = True
+            break
+        t = A @ s
+        ts, tt = float(t @ s), float(t @ t)
+        if ts == 0.0:
+            break
+        omega = ts / tt
+        x = x + alpha * p + omega * s
+        r = s - omega * t
+        residual = float(r @ r)
+        if residual < eff_tol:
+            converged = True
+            break
+        rho_old = rho
+    return x, iters, residual, converged

@@ -7,6 +7,7 @@ from __future__ import annotations
 
 import math
 
+import pytest
 from pyspark.sql import functions as F
 
 from alp_spark import algebra as alg
@@ -85,3 +86,20 @@ def test_e_wise_apply_scalar(spark):
         0: 8.0,
         1: 7.0,
     }
+
+
+def test_norm2_and_cosine_similarity(spark):
+    import numpy as np
+
+    from alp_spark.operators import cosine_similarity, norm2
+
+    xs = [1.0, -2.0, 3.0]
+    ys = [4.0, 0.5, -1.0]
+    x = vec_df(spark, list(enumerate(xs)))
+    y = vec_df(spark, list(enumerate(ys)))
+    assert norm2(x) == pytest.approx(np.linalg.norm(xs))
+    want = float(np.dot(xs, ys) / (np.linalg.norm(xs) * np.linalg.norm(ys)))
+    assert cosine_similarity(x, y) == pytest.approx(want)
+    z = vec_df(spark, [(0, 0.0)])
+    with pytest.raises(ValueError):
+        cosine_similarity(x, z)

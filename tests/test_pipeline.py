@@ -206,10 +206,41 @@ def test_multimodal_plumbing(spark):
     for r in frames:
         assert r["frame_idx"] % 2 == 0
 
-    # the real-decoder placeholder raises NotImplementedError inside the
-    # executor; Spark surfaces it as a PythonException carrying the message
-    with pytest.raises(Exception, match="real media decode requires"):
+    # opaque random payloads are not a recognised format: the real
+    # decoder refuses them (compressed codecs are the documented
+    # integration point); Spark surfaces the NotImplementedError
+    with pytest.raises(Exception, match="compressed codec decode"):
         extract_features(media, decode="real").collect()
+
+
+def test_multimodal_real_decode(spark):
+    import numpy as np
+
+    from alp_spark.pipeline.multimodal import _real_decode
+
+    # REAL uncompressed payloads (P6/WAV/RAWV) decode end-to-end
+    media = synthesize_media(spark, n=12, format="raw")
+    feats = extract_features(media, decode="real").collect()
+    assert len(feats) == 12
+    for r in feats:
+        assert len(r["feature"]) == FEATURE_DIM
+        assert abs(sum(r["feature"]) - 1.0) < 1e-5
+    # P6 unit decode: a 2x1 image of (0,0,0) and (255,255,255)
+    ppm = b"P6\n2 1\n255\n" + bytes([0, 0, 0, 255, 255, 255])
+    px = _real_decode(ppm, n=2)
+    assert px[0] == 0.0 and abs(px[1] - 255.0 / 256.0) < 1e-6
+    # WAV round-trip: silence decodes to mid-scale
+    from alp_spark.pipeline.multimodal import _wav_bytes
+
+    wav = _wav_bytes(np.zeros(64))
+    s = _real_decode(wav, n=8)
+    assert np.allclose(s, 0.5, atol=1e-4)
+    # raw video frames slice to whole frames
+    frames = sample_frames(media.where("kind = 'video'"), every=2).collect()
+    assert frames and all(r["frame_idx"] % 2 == 0 for r in frames)
+    w, h = 8, 6
+    for r in frames:
+        assert len(r["frame_payload"]) == w * h * 3
 
 
 def test_srp_candidate_pairs_and_verify(emb):

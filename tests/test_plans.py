@@ -119,3 +119,28 @@ def test_csr_pagerank_matches_dataframe_path(spark, hub_graph):
     va, vb = _vec(a.ranks), _vec(b.ranks)
     for i in range(n):
         assert va.get(i, 0.0) == pytest.approx(vb[i], abs=1e-12)
+
+
+def test_csr_spmv_broadcast_transport(spark):
+    # x_transport='broadcast' (TorrentBroadcast — the multi-executor
+    # cluster path) must match the local file transport bit-for-bit
+    n, edges = g10_line_hub()
+    E = edges_df(spark, edges)
+    csr = build_csr_blocks(spark, E, n, n_partitions=3)
+    rng = np.random.default_rng(SEED)
+    x = rng.random(n)
+    y_file = spmv_dense(spark, csr, x, combine="plus", x_transport="file")
+    y_bcast = spmv_dense(spark, csr, x, combine="plus", x_transport="broadcast")
+    np.testing.assert_array_equal(y_file, y_bcast)
+    A = oracles.adjacency(n, edges)
+    np.testing.assert_allclose(y_bcast, x @ A, rtol=1e-12)
+    csr.unpersist()
+
+
+def test_csr_build_rejects_out_of_range_src(spark):
+    E = edges_df(spark, [(0, 1), (7, 2)])  # src 7 >= n=5
+    csr = None
+    with pytest.raises(Exception, match="out of range"):
+        csr = build_csr_blocks(spark, E, 5, n_partitions=2)
+    if csr is not None:
+        csr.unpersist()
