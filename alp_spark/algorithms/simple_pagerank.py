@@ -182,6 +182,7 @@ def simple_pagerank_csr(
     n_partitions: int | None = None,
     checkpointer=None,
     checkpoint_every: int = 5,
+    max_driver_n: int = 1_000_000_000,
 ) -> PageRankResult:
     """Same semantics as :func:`simple_pagerank`, executed over one-time
     packed CSR edge blocks (north-star physical form; see
@@ -191,8 +192,12 @@ def simple_pagerank_csr(
     edge shuffle) + one small collect; all O(n) vector algebra (scale,
     dangling fold, residual) runs as driver numpy — the analog of ALP's
     fused ``eWiseLambda`` steps (simple_pagerank.hpp:291-302/402-416).
-    Valid while the rank vector fits driver memory (n ≲ 10^9 at f64);
-    beyond that use :func:`simple_pagerank` (shuffle path).
+    The rank-vector hand-off picks its transport automatically (local →
+    file, cluster → TorrentBroadcast; csr_blocks.spmv_dense). Valid
+    while the rank vector fits driver memory: above ``max_driver_n``
+    (default 10^9 ≈ 8 GB at f64) this AUTOMATICALLY falls back to the
+    fully-distributed shuffle path of :func:`simple_pagerank` — the
+    reference's loop-size strategy switch (reference/blas2.hpp:1104).
     """
     import numpy as np
 
@@ -200,6 +205,12 @@ def simple_pagerank_csr(
 
     if not 0 < alpha < 1 or max_iter <= 0:
         raise ValueError("alpha must be in (0,1), max_iter > 0")
+    if n > max_driver_n:
+        return simple_pagerank(
+            spark, edges, n, alpha=alpha, conv=conv, max_iter=max_iter,
+            checkpointer=checkpointer, checkpoint_every=checkpoint_every,
+            strategy="shuffle",
+        )
 
     csr = build_csr_blocks(spark, edges, n, n_partitions=n_partitions)
 

@@ -2,6 +2,7 @@
 
 from .blas1 import (  # noqa: F401
     apply_mask,
+    check_no_casting,
     cosine_similarity,
     dot,
     norm2,

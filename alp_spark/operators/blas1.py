@@ -46,6 +46,16 @@ def apply_mask(
     return x.join(m.select(ID), on=ID, how=how)
 
 
+def check_no_casting(*dfs: DataFrame) -> None:
+    """The ``no_casting`` descriptor (descriptors.hpp:196): forbid the
+    implicit type promotion Spark would otherwise apply — raise when the
+    operand value dtypes differ (the runtime analog of the reference's
+    ``static_assert``)."""
+    types = {df.schema[VAL].dataType.simpleString() for df in dfs if VAL in df.columns}
+    if len(types) > 1:
+        raise TypeError(f"no_casting: operand value types differ: {sorted(types)}")
+
+
 def e_wise_apply(
     x: DataFrame,
     y: DataFrame,
@@ -53,14 +63,18 @@ def e_wise_apply(
     monoid: Monoid | None = None,
     mask: DataFrame | None = None,
     invert_mask: bool = False,
+    no_casting: bool = False,
 ) -> DataFrame:
     """z = x ⊙ y.
 
     Operator form (monoid=None): sparsity INTERSECTION — base/blas1.hpp:1391.
     Monoid form: sparsity UNION, absent side reads the identity —
     base/blas1.hpp:1616. eWiseMul ≡ operator form with ⊗; eWiseAdd ≡ monoid
-    form with ⊕ (base/blas1.hpp:1912/2794).
+    form with ⊕ (base/blas1.hpp:1912/2794). ``no_casting`` applies the
+    strict-dtype descriptor (descriptors.hpp:196).
     """
+    if no_casting:
+        check_no_casting(x, y)
     if monoid is None:
         out = (
             x.alias("x")

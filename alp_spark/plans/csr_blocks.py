@@ -262,15 +262,17 @@ def spmv_dense(
     csr: CsrBlocks,
     x: np.ndarray,
     combine: str = "plus",
-    x_transport: str = "file",
+    x_transport: str = "auto",
 ) -> np.ndarray:
     """y[j] = ⊕_{i→j} x[i] over the packed chunks; returns a dense numpy
     vector on the driver (⊕-identity where no in-edges).
 
     ``combine``: 'plus' | 'min' | 'max' | 'or' ('plus' needs layout
     'src', the rest layout 'dst'). ``x_transport``: 'file' re-reads a
-    driver-written .npy per worker (local mode); 'broadcast' uses
-    TorrentBroadcast (multi-executor clusters).
+    driver-written .npy per worker (fastest; needs driver-shared
+    storage, i.e. local mode); 'broadcast' uses TorrentBroadcast
+    (multi-executor clusters, log-scaled fan-out); 'auto' picks by
+    master URL (local* → file, else broadcast).
 
     Per superstep: one x hand-off, one round-robin map over the chunk
     metadata rows (each task computes from its process-cached chunk
@@ -286,6 +288,10 @@ def spmv_dense(
     if len(csr.meta) == 0:  # empty matrix → identity vector
         return np.full(n, ident)
 
+    if x_transport == "auto":
+        x_transport = (
+            "file" if spark.sparkContext.master.startswith("local") else "broadcast"
+        )
     bx = None
     x_path = None
     if x_transport == "file":

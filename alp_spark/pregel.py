@@ -187,10 +187,19 @@ def pregel(
     history: list[dict] = []
     converged = True
     out_nnz = n  # nnz of the outgoing-message vector (driver-tracked)
-    n_active = n
+    # a resumed state can carry inactive rows — the split decision below
+    # needs the real census (one cheap action, resume only)
+    n_active = (
+        state.where("active").count() if resume_state is not None else n
+    )
     while True:
         # ---- exchange: incoming[j] = ⊕_{i→j, live(i)} out[i] ---------------
-        active_state = state.where("active")
+        # when EVERY vertex is active (halt-vote-only programs never
+        # shrink the set) the split/union machinery is pure overhead —
+        # run the whole frame through the program and skip the
+        # passthrough branch
+        split = n_active < n
+        active_state = state.where("active") if split else state
         if step == 0 and resume_state is None:
             cur = active_state.withColumn(
                 "incoming", F.lit(msg_id).cast(msg_type)
@@ -233,24 +242,26 @@ def pregel(
         programmed = cur.select(*_STATE_COLS, "incoming", "_ran").mapInPandas(
             run_program(ctx), schema=schema
         )
-        # inactive rows never enter Python: pure-Column passthrough.
-        # Their halt vote resets too (grb::clear over ALL votes,
-        # pregel.hpp:866) and, on a sparsify round, they leave the live
-        # out set.
-        passthrough = state.where(~F.col("active")).select(
-            ID,
-            "state",
-            "out",
-            "active",
-            F.lit(False).alias("halt"),
-            "outdegree",
-            "indegree",
-            F.lit(False).alias("_ran"),
-            (F.lit(False) if do_sparsify else F.col("_out_live")).alias("_out_live"),
-        )
         # programmed rows are always live: live ⊇ active is invariant
         # (sparsify sets live := active; active only shrinks)
-        new = programmed.withColumn("_out_live", F.lit(True)).unionByName(passthrough)
+        new = programmed.withColumn("_out_live", F.lit(True))
+        if split:
+            # inactive rows never enter Python: pure-Column passthrough.
+            # Their halt vote resets too (grb::clear over ALL votes,
+            # pregel.hpp:866) and, on a sparsify round, they leave the
+            # live out set.
+            passthrough = state.where(~F.col("active")).select(
+                ID,
+                "state",
+                "out",
+                "active",
+                F.lit(False).alias("halt"),
+                "outdegree",
+                "indegree",
+                F.lit(False).alias("_ran"),
+                (F.lit(False) if do_sparsify else F.col("_out_live")).alias("_out_live"),
+            )
+            new = new.unionByName(passthrough)
         new = new.localCheckpoint(eager=True)
         state.unpersist()
         state = new

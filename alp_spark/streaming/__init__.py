@@ -1,0 +1,8 @@
+"""Structured Streaming surfaces (watermarked windows, streaming dedup)."""
+
+from .windows import (  # noqa: F401
+    hourly_event_counts,
+    run_to_memory,
+    stream_events,
+    streaming_exact_dedup,
+)

@@ -103,3 +103,14 @@ def test_norm2_and_cosine_similarity(spark):
     z = vec_df(spark, [(0, 0.0)])
     with pytest.raises(ValueError):
         cosine_similarity(x, z)
+
+
+def test_no_casting_descriptor(spark):
+    from alp_spark.operators import e_wise_apply
+
+    x = vec_df(spark, [(0, 1.0)])
+    y = vec_df(spark, [(0, 2)], val_type="long")
+    with pytest.raises(TypeError, match="no_casting"):
+        e_wise_apply(x, y, alg.add, no_casting=True)
+    # permissive default lets Spark promote
+    assert _v(e_wise_apply(x, y, alg.add)) == {0: 3.0}

@@ -144,3 +144,20 @@ def test_csr_build_rejects_out_of_range_src(spark):
         csr = build_csr_blocks(spark, E, 5, n_partitions=2)
     if csr is not None:
         csr.unpersist()
+
+
+def test_csr_pagerank_auto_fallback_to_shuffle(spark):
+    # above max_driver_n the CSR path must delegate to the distributed
+    # shuffle path with identical semantics
+    from alp_spark.algorithms.simple_pagerank import (
+        simple_pagerank,
+        simple_pagerank_csr,
+    )
+
+    n, edges = g10_line_hub()
+    E = edges_df(spark, edges)
+    a = simple_pagerank_csr(spark, E, n, conv=0.0, max_iter=3, max_driver_n=5)
+    b = simple_pagerank(spark, E, n, conv=0.0, max_iter=3, strategy="shuffle")
+    av = {r["id"]: r["val"] for r in a.ranks.collect()}
+    bv = {r["id"]: r["val"] for r in b.ranks.collect()}
+    assert av == pytest.approx(bv)

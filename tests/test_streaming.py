@@ -1,0 +1,88 @@
+"""Streaming plans vs their batch analogs: the windowed aggregation must
+converge to the batch groupBy over the same files; streaming dedup keeps
+exactly one row per text hash."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from alp_spark.streaming import (
+    hourly_event_counts,
+    run_to_memory,
+    stream_events,
+    streaming_exact_dedup,
+)
+
+EV_SCHEMA = "event_id long, event_type string, ts timestamp, value double"
+
+
+def _events_rows():
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(48):
+        rows.append(
+            (
+                i,
+                "click" if i % 2 == 0 else "view",
+                base + dt.timedelta(minutes=7 * i),
+                float(i) / 4.0,
+            )
+        )
+    return rows
+
+
+@pytest.fixture()
+def events_dir(spark, tmp_path):
+    path = str(tmp_path / "events")
+    df = spark.createDataFrame(_events_rows(), EV_SCHEMA)
+    # two files → two chances for the source to split micro-batches
+    df.where("event_id < 24").coalesce(1).write.mode("append").parquet(path)
+    df.where("event_id >= 24").coalesce(1).write.mode("append").parquet(path)
+    return path
+
+
+def test_streaming_hourly_matches_batch(spark, events_dir):
+    stream = stream_events(spark, events_dir)
+    out = run_to_memory(
+        hourly_event_counts(stream), spark, "hourly_t", output_mode="complete"
+    )
+    got = {
+        (r["event_type"], r["hour"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("hour"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 6).alias("v"),
+        )
+    )
+    want = {
+        (r["event_type"], r["hour"]): (r["n"], r["v"]) for r in batch.collect()
+    }
+    assert got == want
+    assert len(want) > 2
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    path = str(tmp_path / "docs")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [
+        (0, "the cat sat", base),
+        (1, "the cat sat", base + dt.timedelta(minutes=1)),  # dup of 0
+        (2, "a different doc", base + dt.timedelta(minutes=2)),
+        (3, "the cat sat", base + dt.timedelta(minutes=3)),  # dup again
+        (4, "third text", base + dt.timedelta(minutes=4)),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    stream = stream_events(spark, path)  # generic file stream reader
+    out = run_to_memory(streaming_exact_dedup(stream), spark, "dedup_t")
+    texts = [r["text"] for r in out.collect()]
+    assert sorted(texts) == ["a different doc", "the cat sat", "third text"]
