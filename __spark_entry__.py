@@ -349,6 +349,39 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME hourly aggregation as a Structured Streaming job: file
+    source -> watermark -> tumbling window -> AvailableNow drain into a
+    memory sink. Shares events_hourly's DuckDB oracle — the streaming
+    plan must converge to the batch answer over the same input."""
+    import hashlib
+    import os
+    import tempfile
+
+    from alp_spark.streaming import (
+        hourly_event_counts,
+        run_to_memory,
+        stream_events,
+    )
+
+    # the streaming file source wants a DIRECTORY; expose the single
+    # parquet file through a symlink dir (testdata is read-only)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"alp_stream_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    ev = stream_events(spark, d).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = run_to_memory(
+        hourly_event_counts(ev), spark, "q_events_hourly_stream",
+        output_mode="complete",
+    )
+    return out.withColumn("hour", F.col("hour").cast("timestamp_ntz"))
+
+
 # --------------------------------------------------------------------------
 # training-data pipeline queries (documents / embeddings)
 # --------------------------------------------------------------------------
@@ -475,6 +508,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cg3": q_cg3,
         "bicgstab": q_bicgstab,
         "events_hourly": q_events_hourly,
+        "events_hourly_stream": q_events_hourly_stream,
         "token_stats": q_token_stats,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
@@ -885,6 +919,9 @@ SELECT y0.id,
 FROM y0
 LEFT JOIN deg ON deg.id = y0.id
 LEFT JOIN wx ON wx.id = y0.id""",
+        "events_hourly_stream": """SELECT event_type, date_trunc('hour', ts) AS hour,
+       count(*) AS n_events, round(sum(value), 6) AS total_value
+FROM events GROUP BY 1, 2""",
         "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2""",

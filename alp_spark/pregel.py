@@ -208,7 +208,9 @@ def pregel(
             out_vec = (
                 state.where("_out_live") if sparsify != "none" else state
             ).select(ID, F.col("out").alias(VAL))
-            active_ids = active_state.select(ID)
+            # all-active rounds: the output mask covers every vertex, so
+            # the edges-vs-active semi-join would be a per-round no-op
+            active_ids = active_state.select(ID) if split else None
             ring = alg.Semiring(add=combiner, mul=alg.left_assign, one=True)
             # the out vector has out_nnz entries: broadcast-join when it
             # fits, shuffle otherwise — the CRS/CCS direction choice
