@@ -104,7 +104,8 @@ def kcore_decomposition(
                 F.when(peels, F.lit(k).cast("long")).otherwise(F.col("core")).alias("core"),
                 (F.col("alive") & ~peels).alias("alive"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: next round's stats agg materializes it (1 job/round)
+            .localCheckpoint(eager=False)
         )
 
     if we_persisted:

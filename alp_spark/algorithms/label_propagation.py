@@ -79,7 +79,9 @@ def label_propagation(
                 ).alias(VAL),
             )
         )
-        fnext = fnext.localCheckpoint(eager=True)
+        # lazy: the flips count below materializes it (1 job/iteration;
+        # f stays cached until that action)
+        fnext = fnext.localCheckpoint(eager=False)
         # convergence: dot under (or, not_equal) — label.hpp:253
         flips = (
             f.alias("a")

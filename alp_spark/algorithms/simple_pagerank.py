@@ -142,7 +142,9 @@ def simple_pagerank(
                 F.col("_has_out"),
             )
         )
-        nxt = nxt.localCheckpoint(eager=True)
+        # lazy: the fused agg below materializes the checkpoint — one
+        # job per iteration (old pr stays cached until then)
+        nxt = nxt.localCheckpoint(eager=False)
 
         # ONE action: L1 residual + next iteration's dangling mass
         row = nxt.agg(

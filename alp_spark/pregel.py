@@ -264,17 +264,22 @@ def pregel(
                 (F.lit(False) if do_sparsify else F.col("_out_live")).alias("_out_live"),
             )
             new = new.unionByName(passthrough)
-        new = new.localCheckpoint(eager=True)
-        state.unpersist()
+        # LAZY checkpoint: the stats action below materializes it, so a
+        # superstep costs ONE job instead of checkpoint-job + stats-job.
+        # The old state must stay cached until that action runs.
+        new = new.localCheckpoint(eager=False)
+        old_state = state
         state = new
 
         step += 1
 
-        # ---- one stats action: halt vote + active census --------------------
+        # ---- one stats action: halt vote + active census (also
+        # materializes the checkpoint) ----------------------------------------
         stats = state.agg(
             F.min(F.when(F.col("_ran"), F.col("halt"))).alias("all_halt"),
             F.sum(F.col("active").cast("long")).alias("n_active"),
         ).collect()[0]
+        old_state.unpersist()
         n_active = int(stats["n_active"] or 0)
         all_halt = bool(stats["all_halt"]) if stats["all_halt"] is not None else False
         history.append(
