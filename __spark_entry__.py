@@ -195,6 +195,46 @@ def q_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select(ID, F.round(VAL, 6).alias("rank"))
 
 
+def q_fma_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """eWiseMulAdd z = a⊗x ⊕ y fused over the degree vectors
+    (reference/blas1.hpp eWiseMulAdd_dispatch): z = out⊗in ⊕ in ⊕ out."""
+    from alp_spark.operators import e_wise_mul_add
+
+    o = _out_degree(spark, sf_dir)
+    i = _in_degree(spark, sf_dir)
+    z = e_wise_mul_add(o, o, i, i, alg.PLUS, alg.mul)
+    return z.select(ID, F.col(VAL).cast("long").alias("fma"))
+
+
+def q_norm2_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """norm2 + cosine_similarity (norm.hpp:76, cosine_similarity.hpp:116)
+    over the degree vectors — two scalar reductions in one row."""
+    from alp_spark.operators import cosine_similarity, norm2
+
+    o = _out_degree(spark, sf_dir)
+    i = _in_degree(spark, sf_dir)
+    return spark.createDataFrame(
+        [(round(norm2(o), 6), round(cosine_similarity(o, i), 6))],
+        "norm_out double, cos_oi double",
+    )
+
+
+def q_mxm_wedges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unmasked SpGEMM C = A·A over the plus-times ring on the pattern
+    graph (base/blas3.hpp:94): C[i,k] = #2-paths i→k. Returns the top-20
+    (i,k) pairs by path count (count desc, then i, k) — exercises mxm in
+    the driver gate with a deterministic slice."""
+    from alp_spark.operators import mxm
+
+    e = _edges(spark, sf_dir)
+    c = mxm(e, e, alg.PLUS_TIMES)
+    return (
+        c.select(SRC, DST, F.col(VAL).cast("long").alias("paths"))
+        .orderBy(F.col("paths").desc(), SRC, DST)
+        .limit(20)
+    )
+
+
 def q_top_rank_vertex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """argmax over the pagerank5 vector (ops.hpp:600 → the ARGMAX pair
     monoid: one F.max over struct(rank, id), id as deterministic
@@ -496,6 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank5": q_pagerank5,
         "pagerank5_csr": q_pagerank5_csr,
         "top_rank_vertex": q_top_rank_vertex,
+        "fma_degrees": q_fma_degrees,
+        "norm2_degrees": q_norm2_degrees,
+        "mxm_wedges": q_mxm_wedges,
         "kcore": q_kcore,
         "connected_components": q_connected_components,
         "triangle_count": q_triangle_count,
@@ -862,6 +905,25 @@ i AS (SELECT dst AS id, count(*) AS v FROM edges GROUP BY dst)
 SELECT sum(o.v * i.v)::DOUBLE AS dot_val FROM o JOIN i ON o.id = i.id""",
         "pagerank5": _pagerank5_sql(),
         "pagerank5_csr": _pagerank5_sql(),
+        "fma_degrees": f"""WITH {E_SQL},
+o AS (SELECT src AS id, count(*) AS v FROM edges GROUP BY src),
+i AS (SELECT dst AS id, count(*) AS v FROM edges GROUP BY dst)
+SELECT coalesce(o.id, i.id) AS id,
+       (coalesce(o.v * i.v, 0) + coalesce(i.v, 0) + coalesce(o.v, 0))::BIGINT AS fma
+FROM o FULL OUTER JOIN i ON o.id = i.id""",
+        "norm2_degrees": f"""WITH {E_SQL},
+o AS (SELECT src AS id, count(*)::DOUBLE AS v FROM edges GROUP BY src),
+i AS (SELECT dst AS id, count(*)::DOUBLE AS v FROM edges GROUP BY dst)
+SELECT round(sqrt((SELECT sum(v * v) FROM o)), 6) AS norm_out,
+       round((SELECT sum(o.v * i.v) FROM o JOIN i ON o.id = i.id)
+             / (sqrt((SELECT sum(v * v) FROM o))
+                * sqrt((SELECT sum(v * v) FROM i))), 6) AS cos_oi""",
+        "mxm_wedges": f"""WITH {E_SQL}
+SELECT a.src AS src, b.dst AS dst, count(*)::BIGINT AS paths
+FROM edges a JOIN edges b ON a.dst = b.src
+GROUP BY a.src, b.dst
+ORDER BY paths DESC, src, dst
+LIMIT 20""",
         "top_rank_vertex": f"""WITH pr AS ({_pagerank5_sql()})
 SELECT id AS top_id, rank AS top_rank FROM pr
 ORDER BY rank DESC, id DESC LIMIT 1""",
