@@ -66,6 +66,7 @@ ANN_K = 3
 # pairwise cosine, so 0.4 selects the genuine "close pair" tail
 DUP_COS = 0.4
 JACCARD_MIN = 0.2
+DEDUP_JACCARD = 0.5  # near-dup removal threshold in the survivors pipeline
 EMB_DIM = 64
 SRP_SEED = 7
 ANN_PLANES = 8
@@ -482,6 +483,25 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end dedup composition: exact dedup (keep min doc_id per
+    text hash), then near-dup removal among the exact survivors —
+    MinHash-LSH candidates verified by n-gram Jaccard >= threshold,
+    dropping the larger doc_id of each qualifying pair (greedy
+    keep-smallest; no transitive closure, so the rule is deterministic
+    and mirrors in SQL). Returns surviving doc_ids."""
+    docs = _docs_parallel(spark, sf_dir)
+    exact_keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
+    kept = docs.join(exact_keep, on="doc_id", how="left_semi")
+    sigs = minhash_signatures(kept, num_hashes=MINHASHES, shingle_k=2)
+    cands = lsh_candidate_pairs(sigs, num_hashes=MINHASHES, band_size=BAND_SIZE)
+    near = ngram_jaccard_pairs(
+        kept, shingle_k=2, threshold=DEDUP_JACCARD, candidates=cands
+    )
+    drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
+    return kept.join(drop, on="doc_id", how="left_anti").select("doc_id")
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_tbl(spark, sf_dir, "documents"))
 
@@ -559,6 +579,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "minhash_signatures": q_minhash_signatures,
         "lsh_dup_pairs": q_lsh_dup_pairs,
+        "dedup_survivors": q_dedup_survivors,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -833,6 +854,76 @@ cand AS (
 )"""
 
 
+def _dedup_survivors_sql() -> str:
+    from alp_spark.pipeline.dedup import MINHASH_P, minhash_params
+
+    params = minhash_params(MINHASHES)
+    sig_cols = ",\n       ".join(
+        "list_min(list_transform(hs, h -> "
+        f"({params[j][0]} * (('0x' || substr(h, 1, 14))::BIGINT % {MINHASH_P})"
+        f" + {params[j][1]}) % {MINHASH_P})) AS sig{j}"
+        for j in range(MINHASHES)
+    )
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sig{2 * b}::VARCHAR || ':' || "
+        f"sig{2 * b + 1}::VARCHAR AS key FROM sigs"
+        for b in range(MINHASHES // BAND_SIZE)
+    )
+    return f"""WITH keepids AS (
+  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+),
+kept AS (
+  SELECT d.doc_id, d.text FROM documents d
+  JOIN keepids k ON d.doc_id = k.doc_id
+),
+t AS (
+  SELECT doc_id,
+         list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM kept
+),
+s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 1, 1)),
+            i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS sh
+  FROM t
+),
+hx AS (SELECT doc_id, list_transform(sh, x -> md5(x)) AS hs FROM s),
+sigs AS (
+  SELECT doc_id,
+       {sig_cols}
+  FROM hx
+),
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM s),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.doc_a
+  JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
+  GROUP BY c.doc_a, c.doc_b
+),
+drops AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+  WHERE round(i.n_inter::DOUBLE / (sa.n_sh + sb.n_sh - i.n_inter), 6)
+        >= {DEDUP_JACCARD}
+)
+SELECT k.doc_id FROM kept k
+LEFT JOIN drops d ON d.doc_id = k.doc_id
+WHERE d.doc_id IS NULL"""
+
+
 def _simhash_sql() -> str:
     high = "('8','9','a','b','c','d','e','f')"
     sums = ",\n         ".join(
@@ -1063,6 +1154,7 @@ JOIN sizes sa ON sa.doc_id = doc_a
 JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_MIN}""",
         "simhash": _simhash_sql(),
+        "dedup_survivors": _dedup_survivors_sql(),
         "ann_topk": f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),
