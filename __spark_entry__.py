@@ -196,6 +196,24 @@ def q_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select(ID, F.round(VAL, 6).alias("rank"))
 
 
+def q_out_degree_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same degree computation through the explicitly two-sided-salted
+    vxm (plans/skew.py — the north rule's hub-skew handling): hot keys
+    at threshold 50 on this graph, 8 salts. Must hash-match the plain
+    out_degree oracle (two-level agg is exact for commutative ⊕)."""
+    from alp_spark.plans.skew import hot_keys, salted_vxm
+
+    e = _edges(spark, sf_dir)
+    ones = set_dense(spark, N_V, 1.0)
+    hs = hot_keys(e, DST, threshold=50)  # vxm transpose: join side is dst
+    hd = hot_keys(e, SRC, threshold=50)
+    u = salted_vxm(
+        ones, e, alg.PLUS_FIRST, hot_src=hs, hot_dst=hd, n_salts=8,
+        transpose=True,
+    )
+    return u.select(ID, F.col(VAL).cast("long").alias("degree"))
+
+
 def q_fma_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """eWiseMulAdd z = a⊗x ⊕ y fused over the degree vectors
     (reference/blas1.hpp eWiseMulAdd_dispatch): z = out⊗in ⊕ in ⊕ out."""
@@ -557,6 +575,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank5_csr": q_pagerank5_csr,
         "top_rank_vertex": q_top_rank_vertex,
         "fma_degrees": q_fma_degrees,
+        "out_degree_salted": q_out_degree_salted,
         "norm2_degrees": q_norm2_degrees,
         "mxm_wedges": q_mxm_wedges,
         "kcore": q_kcore,
@@ -996,6 +1015,8 @@ i AS (SELECT dst AS id, count(*) AS v FROM edges GROUP BY dst)
 SELECT sum(o.v * i.v)::DOUBLE AS dot_val FROM o JOIN i ON o.id = i.id""",
         "pagerank5": _pagerank5_sql(),
         "pagerank5_csr": _pagerank5_sql(),
+        "out_degree_salted": f"""WITH {E_SQL}
+SELECT src AS id, count(*) AS degree FROM edges GROUP BY src""",
         "fma_degrees": f"""WITH {E_SQL},
 o AS (SELECT src AS id, count(*) AS v FROM edges GROUP BY src),
 i AS (SELECT dst AS id, count(*) AS v FROM edges GROUP BY dst)

@@ -86,3 +86,36 @@ def test_streaming_exact_dedup(spark, tmp_path):
     out = run_to_memory(streaming_exact_dedup(stream), spark, "dedup_t")
     texts = [r["text"] for r in out.collect()]
     assert sorted(texts) == ["a different doc", "the cat sat", "third text"]
+
+
+def test_stateful_running_totals_across_microbatches(spark, events_dir):
+    # two parquet files + maxFilesPerTrigger=1 => two micro-batches; the
+    # applyInPandasWithState fold must carry state across them so the
+    # final per-key update equals the full batch totals
+    from alp_spark.streaming import running_event_totals
+
+    schema = spark.read.parquet(events_dir).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+    )
+    out = run_to_memory(
+        running_event_totals(stream), spark, "totals_t", output_mode="update"
+    )
+    # update mode emits one row per key per batch; counts are monotone,
+    # so max(n_events) per key is the final state
+    rows = out.groupBy("event_type").agg(
+        F.max("n_events").alias("n"), F.max("total_value").alias("v")
+    ).collect()
+    got = {r["event_type"]: (r["n"], round(r["v"], 6)) for r in rows}
+    batch = (
+        spark.read.parquet(events_dir)
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+    )
+    want = {r["event_type"]: (r["n"], round(r["v"], 6)) for r in batch.collect()}
+    assert got == want
+    # and the stream really split into >1 batch: some key was emitted twice
+    per_key = out.groupBy("event_type").count().collect()
+    assert max(r["count"] for r in per_key) > 1
