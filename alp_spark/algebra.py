@@ -204,9 +204,12 @@ LOR = Monoid(op=logical_or, agg=lambda c: F.max(c.cast("boolean")), identity=Fal
 LAND = Monoid(op=logical_and, agg=lambda c: F.min(c.cast("boolean")), identity=True)
 ANY = Monoid(op=any_or, agg=lambda c: F.first(c, ignorenulls=True), identity=None)
 # argmin/argmax monoids reduce struct(val, idx) pairs; the identity pair
-# (±inf, max-id) is a Column, not a python literal — use lit_identity().
+# is a Column, not a python literal — use lit_identity(). The identity's
+# idx component must LOSE val-ties against any real entry: min/least
+# break val-ties toward the smaller idx (so ARGMIN's identity idx is the
+# max id), greatest/max toward the larger idx (so ARGMAX's is the min).
 ARGMIN = Monoid(op=argmin_op, agg=F.min, identity=(math.inf, (1 << 62)))
-ARGMAX = Monoid(op=argmax_op, agg=F.max, identity=(-math.inf, (1 << 62)))
+ARGMAX = Monoid(op=argmax_op, agg=F.max, identity=(-math.inf, -(1 << 62)))
 
 
 # --- semirings used by the shipped algorithms (SURVEY.md §1.4) ---------------

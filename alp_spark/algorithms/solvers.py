@@ -83,6 +83,9 @@ def conjugate_gradient(
         .withColumn("_b", F.coalesce(F.col("_b"), F.lit(0.0)))
     )
     t0 = _state_mxv(A, st, "x", n)
+    # lazy checkpoints throughout: the agg action that immediately
+    # follows each one materializes it, so every solver step costs ONE
+    # Spark job instead of checkpoint-job + agg-job.
     st = (
         _join_t(st, t0)
         .select(
@@ -92,7 +95,7 @@ def conjugate_gradient(
             (F.col("_b") - F.col("_t")).alias("u"),
             "_b",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     row = st.agg(
         F.sum(F.col("r") * F.col("r")).alias("sigma"),
@@ -109,7 +112,7 @@ def conjugate_gradient(
         while True:
             iters += 1
             # temp = A u; beta = u' A u  (:338-360)
-            st2 = _join_t(st, _state_mxv(A, st, "u", n)).localCheckpoint(eager=True)
+            st2 = _join_t(st, _state_mxv(A, st, "u", n)).localCheckpoint(eager=False)
             denom = st2.agg(F.sum(F.col("u") * F.col("_t")).alias("d")).collect()[0]["d"]
             alpha = sigma / float(denom)
             # x += alpha u; r -= alpha (A u)  (:366-376)
@@ -118,7 +121,7 @@ def conjugate_gradient(
                 (F.col("x") + alpha * F.col("u")).alias("x"),
                 (F.col("r") - alpha * F.col("_t")).alias("r"),
                 "u",
-            ).localCheckpoint(eager=True)
+            ).localCheckpoint(eager=False)
             residual = float(
                 st3.agg(F.sum(F.col("r") * F.col("r")).alias("b")).collect()[0]["b"]
             )
@@ -174,7 +177,7 @@ def bicgstab(
             F.lit(0.0).alias("v"),
             "_b",
         )
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     row = st.agg(
         F.sum(F.col("r") * F.col("r")).alias("res"),
@@ -191,14 +194,17 @@ def bicgstab(
         )
 
     rho_old = alpha = omega = 1.0
+    # rho = (rhat, r) with rhat == r at entry, so the first iteration's
+    # rho IS the init residual; each later iteration's rho is computed
+    # FUSED with the tail residual check (one agg, two aggregates) —
+    # halving the per-iteration driver-action count vs a separate
+    # top-of-loop dot. Numerically identical: same products, same frame.
+    rho = residual
     iters = 0
     converged = False
     while iters < max_iterations:
         iters += 1
         # rho = (rhat, r); breakdown → FAILED  (bicgstab.hpp:333-343)
-        rho = float(
-            st.agg(F.sum(F.col("rhat") * F.col("r")).alias("v")).collect()[0]["v"]
-        )
         if rho == 0.0:
             break
         beta = (rho / rho_old) * (alpha / omega)
@@ -210,7 +216,7 @@ def bicgstab(
         st = (
             _join_t(st.drop("v"), _state_mxv(A, st, "p", n))
             .withColumnRenamed("_t", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         denom = float(
             st.agg(F.sum(F.col("rhat") * F.col("v")).alias("d")).collect()[0]["d"]
@@ -231,7 +237,7 @@ def bicgstab(
             converged = True
             break
         # t = A s; omega = (t,s)/(t,t)  (:409-429)
-        st = _join_t(st, _state_mxv(A, st, "s", n)).localCheckpoint(eager=True)
+        st = _join_t(st, _state_mxv(A, st, "s", n)).localCheckpoint(eager=False)
         row = st.agg(
             F.sum(F.col("_t") * F.col("s")).alias("ts"),
             F.sum(F.col("_t") * F.col("_t")).alias("tt"),
@@ -247,14 +253,19 @@ def bicgstab(
             (F.col("x") + alpha * F.col("p") + omega * F.col("s")).alias("x"),
             (F.col("s") - omega * F.col("_t")).alias("r"),
             "rhat", "p", "v",
-        ).localCheckpoint(eager=True)
-        residual = float(
-            st.agg(F.sum(F.col("r") * F.col("r")).alias("r")).collect()[0]["r"]
-        )
+        ).localCheckpoint(eager=False)
+        # fused tail: the residual check AND the next iteration's rho in
+        # one two-aggregate action over the same state frame
+        row = st.agg(
+            F.sum(F.col("r") * F.col("r")).alias("res"),
+            F.sum(F.col("rhat") * F.col("r")).alias("rho"),
+        ).collect()[0]
+        residual = float(row["res"])
         if residual < eff_tol:
             converged = True
             break
         rho_old = rho
+        rho = float(row["rho"])
 
     return SolveResult(
         x=st.select(ID, F.col("x").alias(VAL)),

@@ -79,11 +79,32 @@ def _resample(vals: np.ndarray, n: int) -> np.ndarray:
     return np.interp(x, xp, vals).astype(np.float32)
 
 
+def _pnm_header(payload: bytes) -> tuple[list[bytes], int]:
+    """Positional-cursor parse of the 4 netpbm header tokens (magic, w,
+    h, maxval), skipping '#' comment lines between tokens. Returns the
+    tokens and the raster offset: exactly ONE whitespace byte after the
+    maxval token (per the spec). A substring search would mis-locate the
+    raster when the maxval digits also appear inside width/height."""
+    pos, toks = 0, []
+    n = len(payload)
+    while len(toks) < 4:
+        while pos < n and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":
+            pos = payload.index(b"\n", pos) + 1
+            continue
+        start = pos
+        while pos < n and not payload[pos : pos + 1].isspace():
+            pos += 1
+        toks.append(payload[start:pos])
+    return toks, pos + 1
+
+
 def _decode_netpbm(payload: bytes) -> np.ndarray:
     """Binary netpbm (P5 grayscale / P6 RGB) → intensities in [0, 1)."""
-    parts = payload.split(maxsplit=4)  # magic, w, h, maxval, raster
-    magic, w, h, maxval = parts[0], int(parts[1]), int(parts[2]), int(parts[3])
-    raster = payload[payload.index(parts[3]) + len(parts[3]) + 1 :]
+    toks, raster_off = _pnm_header(payload)
+    magic, w, h, maxval = toks[0], int(toks[1]), int(toks[2]), int(toks[3])
+    raster = payload[raster_off:]
     ch = 3 if magic == b"P6" else 1
     px = np.frombuffer(raster[: w * h * ch], dtype=np.uint8).astype(np.float32)
     if ch == 3:

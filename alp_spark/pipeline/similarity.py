@@ -219,17 +219,25 @@ def srp_candidate_pairs(
 
     Returns distinct (id_a, id_b) with id_a < id_b.
     """
-    bits = srp_bits(F.col(vec_col), dim, n_bands * band_bits, seed)
+    # Materialize the bit string ONCE behind a named projection before
+    # deriving per-band substrings: CollapseProject never inlines a
+    # UserDefinedExpression (the Arrow UDF) into multiple consumers, so
+    # this guarantees a single UDF evaluation per row instead of relying
+    # on Catalyst deduplicating n_bands identical UDF expressions.
+    with_bits = emb.select(
+        F.col(id_col).alias("doc"),
+        srp_bits(F.col(vec_col), dim, n_bands * band_bits, seed).alias("_bits"),
+    )
     bands = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
-                F.substring(bits, b * band_bits + 1, band_bits).alias("key"),
+                F.substring(F.col("_bits"), b * band_bits + 1, band_bits).alias("key"),
             )
             for b in range(n_bands)
         ]
     )
-    keyed = emb.select(F.col(id_col).alias("doc"), F.explode(bands).alias("bk")).select(
+    keyed = with_bits.select("doc", F.explode(bands).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key")
     )
     from .dedup import bucket_pairs

@@ -57,16 +57,21 @@ def read_matrix_market(
     # Drop the dimension line by CONTENT, not position: FileSourceScan
     # orders splits by size descending, so no row-id trick identifies
     # "the first data line" on multi-split inputs. The dims string is
-    # already parsed driver-side above; filtering rows whose normalized
-    # fields equal it removes exactly the header (an entry row can only
-    # collide if (i, j, v) == (nrows, ncols, nnz) token-for-token).
+    # already parsed driver-side above. An entry row CAN collide
+    # token-for-token (a self-loop "4 4 8" in a 4x4/8-nnz matrix), so
+    # drop exactly ONE matching row — the header — and union the other
+    # matches back (all collisions are the same (i, j, v) tuple, so which
+    # physical row survives is immaterial).
     lines = spark.read.text(path)
     data = lines.where(~F.col("value").startswith("%") & (F.trim("value") != ""))
     dims_norm = " ".join(dims.split())
     parts = F.split(F.trim(F.col("value")), r"\s+")
-    body = data.where(
-        F.array_join(parts, " ") != F.lit(dims_norm)
-    ).select(
+    matched = data.where(F.array_join(parts, " ") == F.lit(dims_norm))
+    n_matched = matched.count()  # ≥ 1 (the header itself); tiny action
+    data = data.where(F.array_join(parts, " ") != F.lit(dims_norm))
+    if n_matched > 1:
+        data = data.unionByName(matched.limit(n_matched - 1))
+    body = data.select(
         (parts.getItem(0).cast("long") - 1).alias(SRC),
         (parts.getItem(1).cast("long") - 1).alias(DST),
         *([] if pattern else [parts.getItem(2).cast("double").alias(VAL)]),
