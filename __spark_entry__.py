@@ -53,7 +53,20 @@ from alp_spark.pipeline.similarity import srp_planes
 N_V = 1000  # graph vertex-id space (mod applied to lineitem keys)
 PR_ITERS = 5
 PPR_ROUNDS = 3  # pinned Pregel-PageRank round budget (oracle-unrollable)
+# Adaptive Pregel-PageRank (global halt votes, tol=1e-5) all-halts at
+# round 9 on the sf0.01 fixture graph = 8 score updates after the
+# round-0 init — measured once and pinned so the convergent run gets an
+# EXACT unrolled oracle (global-halt mode does full synchronous updates
+# every round; halt is only a vote, so the unroll reproduces it bit-
+# for-bit). Correctness is driver-checked at sf0.01 only.
+PPR_CONV_UPDATES = 8
 CG_ITERS = 3  # pinned CG iteration budget (oracle-unrollable)
+BICG_ITERS = 3  # pinned BiCGstab iteration budget (oracle-unrollable)
+# label_prop_converged reaches its fixpoint after 1 update at sf0.01
+# (flips=0 on the first convergence check); at a fixpoint further rounds
+# are no-ops, so unrolling MORE rounds than needed stays exact — 8
+# gives headroom for other fixture scales.
+LP_CONV_ROUNDS = 8
 KCORE_SQL_ROUNDS = 110  # ≥ the 96 peel rounds the sf0.01 graph needs;
 # extra rounds are no-ops (all peeled → anypeel=0 → only k increments)
 KNN_SOURCE = 7
@@ -302,13 +315,15 @@ def q_cg3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_bicgstab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BiCGstab (bicgstab.hpp:160-480) to convergence — the adaptive
-    breakdown/stabilisation exits are not SQL-unrollable; rows-only
-    (pytest pins it against the NumPy oracle)."""
+    """BiCGstab (bicgstab.hpp:160-480) pinned to 3 full iterations
+    (tol→0 so no stabilisation/breakdown exit fires on this SPD system)
+    — the same pinned-iteration technique as cg3, so the SQL oracle can
+    unroll the full recurrence. The adaptive convergence path stays
+    pytest-verified against the NumPy oracle."""
     from alp_spark.algorithms import bicgstab
 
     A, b = _spd_system(spark, sf_dir)
-    res = bicgstab(spark, A, b, N_V, tol=1e-6)
+    res = bicgstab(spark, A, b, N_V, tol=1e-30, max_iterations=BICG_ITERS)
     return res.x.select(ID, F.round(VAL, 6).alias("x"))
 
 
@@ -366,8 +381,9 @@ def q_label_prop1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_label_prop_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full label propagation to convergence (rows-only check: the
-    fixpoint loop is not expressible in one SQL statement)."""
+    """Full label propagation to convergence. Oracle: LP_CONV_ROUNDS
+    unrolled rounds — the sf0.01 fixture reaches its fixpoint after 1
+    update, and at a fixpoint extra unrolled rounds are no-ops."""
     sym = _sym_edges(spark, sf_dir).withColumn(VAL, F.lit(1.0))
     y0 = spark.range(N_V).select(
         F.col("id").alias(ID),
@@ -381,7 +397,10 @@ def q_label_prop_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_pregel_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALP's Pregel PageRank example (pregel_pagerank.hpp:53-215) with
-    per-vertex local convergence — adaptive halting, rows-only check."""
+    global halt votes — adaptive run to convergence. Oracle: the
+    measured sf0.01 all-halt round count (PPR_CONV_UPDATES updates)
+    unrolled; halt is only a vote in global mode, so every round is a
+    full synchronous update and the unroll is exact."""
     res = pregel_pagerank(spark, _edges(spark, sf_dir), N_V)
     return res.state.select(ID, F.round("state", 6).alias("score"))
 
@@ -655,15 +674,19 @@ x AS (SELECT id, (id % 7)::DOUBLE AS v FROM range({N_V}) t(id)),
 SELECT id, round(v, 6) AS dist FROM y3"""
 
 
-def _pregel_pagerank3_sql() -> str:
+def _pregel_pagerank_sql(rounds: int = PPR_ROUNDS) -> str:
     """Unrolled Pregel-PageRank supersteps (pregel_pagerank.hpp:87-144):
     s0: score=1, out=1/outdeg; s_r: score = α + (1-α)·Σ in-msgs,
-    out = score/outdeg where outdeg>0 else previous out."""
+    out = score/outdeg where outdeg>0 else previous out. ``rounds`` =
+    number of score updates after the round-0 init: PPR_ROUNDS for the
+    pinned query, PPR_CONV_UPDATES (the measured sf0.01 all-halt round
+    count minus the init round) for the adaptive one — global-halt mode
+    runs full synchronous updates every round, so the unroll is exact."""
     a = 0.15  # reference default alpha (pregel_pagerank.hpp:64)
     steps = []
     prev = "s0"
-    for r in range(1, PPR_ROUNDS + 1):
-        steps.append(f"""s{r} AS (
+    for r in range(1, rounds + 1):
+        steps.append(f"""s{r} AS MATERIALIZED (
   SELECT p.id,
          {a} + {1 - a} * coalesce(m.msg, 0) AS score,
          CASE WHEN d.d > 0
@@ -689,6 +712,132 @@ s0 AS (
 ),
 {joined}
 SELECT id, round(score, 6) AS score FROM {prev}"""
+
+
+def _label_prop_sql(rounds: int) -> str:
+    """Unrolled random-walk label-propagation rounds (label.hpp:122-290,
+    mirrors algorithms/label_propagation.py): per round, f[i] :=
+    seed-clamped threshold( (Σ_j W[i,j]·f[j]) · (1/deg[i]) ) at 0.5.
+    The threshold multiplies by a precomputed 1/deg — NOT a division —
+    to match the engine's IEEE-754 rounding bit-for-bit at ties.
+    Isolated vertices (no dinv row) fall to the ELSE branch = 1.0 in
+    both engines (NULL comparison). At the fixpoint extra rounds are
+    no-ops, so any ``rounds`` ≥ the measured convergence count is
+    exact for the converged variant."""
+    steps = []
+    prev = "f0"
+    for t in range(1, rounds + 1):
+        steps.append(f"""w{t} AS MATERIALIZED (
+  SELECT s.src AS id, sum(y.v) AS v FROM sym s JOIN {prev} y ON s.dst = y.id
+  GROUP BY s.src
+),
+f{t} AS MATERIALIZED (
+  SELECT f.id,
+         CASE WHEN f.id < {LP_SEEDS} THEN (f.id % 2)::DOUBLE
+              WHEN coalesce(w.v, 0.0) * (1.0 / deg.d) < 0.5 THEN 0.0
+              ELSE 1.0 END AS v
+  FROM {prev} f
+  LEFT JOIN deg ON deg.id = f.id
+  LEFT JOIN w{t} w ON w.id = f.id
+)""")
+        prev = f"f{t}"
+    joined = ",\n".join(steps)
+    return f"""WITH {E_SQL},
+{SYM_SQL},
+f0 AS (
+  SELECT id,
+         CASE WHEN id < {LP_SEEDS} THEN (id % 2)::DOUBLE ELSE 0.0 END AS v
+  FROM range({N_V}) t(id)
+),
+deg AS (SELECT src AS id, count(*)::DOUBLE AS d FROM sym GROUP BY src),
+{joined}
+SELECT id, v AS label FROM {prev}"""
+
+
+def _bicgstab_sql() -> str:
+    """Unrolled BiCGstab iterations over the Laplacian+2I system
+    (mirrors algorithms/solvers.py:bicgstab with tol→0, so no
+    stabilisation/breakdown exit fires): per iteration
+    beta = (rho/rho_old)(alpha/omega); p := r + beta(p - omega v);
+    v := A p; alpha := rho/(rhat,v); s := r - alpha v; t := A s;
+    omega := (t,s)/(t,t); x += alpha p + omega s; r := s - omega t;
+    rho_old := rho; rho := (rhat, r)."""
+    steps = []
+    prev, prev_sc = "st0", "sc0"
+    for k in range(1, BICG_ITERS + 1):
+        steps.append(f"""sp{k} AS MATERIALIZED (
+  SELECT s.id, s.x, s.r, s.rhat,
+         s.r + (sc.rho / sc.rho_old) * (sc.alpha / sc.omega)
+             * (s.p - sc.omega * s.v) AS p
+  FROM {prev} s CROSS JOIN {prev_sc} sc
+),
+v{k} AS MATERIALIZED (
+  SELECT a.src AS id, sum(a.val * s.p) AS v
+  FROM A a JOIN sp{k} s ON s.id = a.dst GROUP BY a.src
+),
+al{k} AS MATERIALIZED (
+  SELECT sc.rho / (SELECT sum(s.rhat * v.v)
+                   FROM sp{k} s JOIN v{k} v ON v.id = s.id) AS alpha
+  FROM {prev_sc} sc
+),
+ss{k} AS MATERIALIZED (
+  SELECT s.id, s.x, s.r, s.rhat, s.p, coalesce(v.v, 0) AS v,
+         s.r - al.alpha * coalesce(v.v, 0) AS s
+  FROM sp{k} s LEFT JOIN v{k} v ON v.id = s.id CROSS JOIN al{k} al
+),
+t{k} AS MATERIALIZED (
+  SELECT a.src AS id, sum(a.val * s.s) AS t
+  FROM A a JOIN ss{k} s ON s.id = a.dst GROUP BY a.src
+),
+om{k} AS MATERIALIZED (
+  SELECT sum(s.s * t.t) / sum(t.t * t.t) AS omega
+  FROM ss{k} s JOIN t{k} t ON t.id = s.id
+),
+st{k} AS MATERIALIZED (
+  SELECT s.id,
+         s.x + al.alpha * s.p + om.omega * s.s AS x,
+         s.s - om.omega * coalesce(t.t, 0) AS r,
+         s.rhat, s.p, s.v
+  FROM ss{k} s LEFT JOIN t{k} t ON t.id = s.id
+  CROSS JOIN al{k} al CROSS JOIN om{k} om
+),
+sc{k} AS MATERIALIZED (
+  SELECT (SELECT sum(rhat * r) FROM st{k}) AS rho,
+         sc.rho AS rho_old, al.alpha AS alpha, om.omega AS omega
+  FROM {prev_sc} sc CROSS JOIN al{k} al CROSS JOIN om{k} om
+)""")
+        prev, prev_sc = f"st{k}", f"sc{k}"
+    joined = ",\n".join(steps)
+    return f"""WITH edges AS MATERIALIZED (
+  SELECT DISTINCT l_partkey % {N_V} AS src, l_suppkey % {N_V} AS dst
+  FROM lineitem
+  WHERE l_partkey % {N_V} <> l_suppkey % {N_V}
+),
+sym AS MATERIALIZED (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT dst AS src, src AS dst FROM edges
+),
+A AS MATERIALIZED (
+  SELECT src, dst, -1.0 AS val FROM sym
+  UNION ALL
+  SELECT v.id AS src, v.id AS dst, coalesce(d.d, 0) + 2.0 AS val
+  FROM range({N_V}) v(id)
+  LEFT JOIN (SELECT src, count(*) AS d FROM sym GROUP BY src) d ON d.src = v.id
+),
+st0 AS MATERIALIZED (
+  SELECT id, 0.0 AS x,
+         ((id % 10) + 1) / 10.0 AS r,
+         ((id % 10) + 1) / 10.0 AS rhat,
+         0.0 AS p, 0.0 AS v
+  FROM range({N_V}) t(id)
+),
+sc0 AS MATERIALIZED (
+  SELECT sum(r * r) AS rho, 1.0 AS rho_old, 1.0 AS alpha, 1.0 AS omega
+  FROM st0
+),
+{joined}
+SELECT id, round(x, 6) AS x FROM st{BICG_ITERS}"""
 
 
 def _kcore_sql(rounds: int = None) -> str:
@@ -1070,29 +1219,13 @@ hop2 AS (
 )
 SELECT id, true AS reached FROM hop2""",
         "mpv3_minplus": _mpv3_sql(),
-        "pregel_pagerank3": _pregel_pagerank3_sql(),
+        "pregel_pagerank3": _pregel_pagerank_sql(),
+        "pregel_pagerank": _pregel_pagerank_sql(PPR_CONV_UPDATES),
         "cg3": _cg3_sql(),
+        "bicgstab": _bicgstab_sql(),
         "kcore": _kcore_sql(),
-        "label_prop1": f"""WITH {E_SQL},
-{SYM_SQL},
-y0 AS (
-  SELECT id,
-         CASE WHEN id < {LP_SEEDS} THEN (id % 2)::DOUBLE ELSE 0.0 END AS v
-  FROM range({N_V}) t(id)
-),
-deg AS (SELECT src AS id, count(*)::DOUBLE AS d FROM sym GROUP BY src),
-wx AS (
-  SELECT s.src AS id, sum(y.v) AS v FROM sym s JOIN y0 y ON s.dst = y.id
-  GROUP BY s.src
-)
-SELECT y0.id,
-       CASE WHEN y0.id < {LP_SEEDS} THEN y0.v
-            WHEN deg.id IS NULL THEN 1.0
-            WHEN coalesce(wx.v, 0.0) / deg.d < 0.5 THEN 0.0
-            ELSE 1.0 END AS label
-FROM y0
-LEFT JOIN deg ON deg.id = y0.id
-LEFT JOIN wx ON wx.id = y0.id""",
+        "label_prop1": _label_prop_sql(1),
+        "label_prop_converged": _label_prop_sql(LP_CONV_ROUNDS),
         "events_hourly_stream": """SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2""",
