@@ -71,6 +71,17 @@ KCORE_SQL_ROUNDS = 110  # ≥ the 96 peel rounds the sf0.01 graph needs;
 # extra rounds are no-ops (all peeled → anypeel=0 → only k increments)
 KNN_SOURCE = 7
 LP_SEEDS = 50
+KM_K = 4  # kmeans clusters
+KM_SEED = 11  # kpp RNG seed (reference uses wall-clock; see kmeans.py)
+KM_N = 500  # embeddings rows — identical at every driver sf, so the
+# kpp draws baked into the SQL oracle match the runtime draws
+# kmeans converges (exact centroid fixpoint) in 11 Lloyd iterations at
+# sf0.01 / 18 at sf0.001; extra unrolled rounds are no-ops at the
+# fixpoint, so 20 covers both fixtures with margin
+KM_SQL_ROUNDS = 20
+NN_LAYERS = 4  # sparse-NN fixture: 4 matrices (reference applies L-1)
+NN_BIAS = -0.3  # GraphChallenge 1024-neuron bias (smoke test :94)
+NN_THRESHOLD = 32.0  # GraphChallenge YMAX clamp
 MINHASHES = 8
 BAND_SIZE = 2
 ANN_QUERIES = 10
@@ -325,6 +336,56 @@ def q_bicgstab(spark: SparkSession, sf_dir: str) -> DataFrame:
     A, b = _spd_system(spark, sf_dir)
     res = bicgstab(spark, A, b, N_V, tol=1e-30, max_iterations=BICG_ITERS)
     return res.x.select(ID, F.round(VAL, 6).alias("x"))
+
+
+def q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kmeans (kmeans.hpp:60-373): seeded kpp initialisation + Lloyd's
+    iteration to the exact centroid fixpoint over the embeddings table.
+    Oracle: KM_SQL_ROUNDS unrolled Lloyd rounds (no-ops past the
+    fixpoint) seeded by the same kpp_draws literals."""
+    from alp_spark.algorithms import kmeans
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    res = kmeans(
+        spark, emb, k=KM_K, seed=KM_SEED, max_iter=40,
+        id_col="vec_id", vec_col="embedding",
+    )
+    return res.assignments.select(
+        ID, "cluster", F.round("dist", 6).alias("dist")
+    )
+
+
+def _nn_weight_val(l: int):
+    """Deterministic layer-l weight per edge: ((31·src + 17·dst + 101·l)
+    mod 13 − 6) / 10 ∈ [−0.6, 0.6] — identical arithmetic in Spark and
+    the SQL oracle."""
+    return (
+        ((F.col(SRC) * 31 + F.col(DST) * 17 + F.lit(l * 101)) % 13 - 6) / 10.0
+    )
+
+
+def q_sparse_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded sparse-NN single inference
+    (sparse_nn_single_inference.hpp:53-176, the GraphChallenge smoke
+    semantics): NN_LAYERS deterministic weight layers over the driver
+    graph, constant bias, relu + YMAX clamp; sparse input vector
+    (every 7th vertex hot). The oracle unrolls the L-1 applied layers."""
+    from alp_spark.algorithms import sparse_nn_single_inference
+
+    e = _edges(spark, sf_dir)
+    layers = [
+        e.select(SRC, DST, _nn_weight_val(l).alias(VAL))
+        for l in range(NN_LAYERS)
+    ]
+    x0 = (
+        spark.range(N_V)
+        .where(F.col("id") % 7 == 0)
+        .select(F.col("id").alias(ID), ((F.col("id") % 23 + 1) / 23.0).alias(VAL))
+    )
+    out = sparse_nn_single_inference(
+        spark, x0, layers, [NN_BIAS] * NN_LAYERS, N_V, threshold=NN_THRESHOLD
+    )
+    return out.select(ID, F.round(VAL, 6).alias("activation"))
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -608,6 +669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pregel_pagerank3": q_pregel_pagerank3,
         "cg3": q_cg3,
         "bicgstab": q_bicgstab,
+        "kmeans": q_kmeans,
+        "sparse_nn": q_sparse_nn,
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
         "token_stats": q_token_stats,
@@ -838,6 +901,106 @@ sc0 AS MATERIALIZED (
 ),
 {joined}
 SELECT id, round(x, 6) AS x FROM st{BICG_ITERS}"""
+
+
+def _kmeans_sql() -> str:
+    """Unrolled kpp seeding + Lloyd rounds (mirrors
+    algorithms/kmeans.py, reference kmeans.hpp:60-373). The kpp random
+    draws are the same seeded ``kpp_draws`` literals the runtime
+    consumes; the selection scan reproduces the reference quirk of
+    scanning latest-centroid distances against the Σ-min-distances
+    range. Assignment ties break to the smaller cluster index in both
+    engines (array_min struct order ↔ ORDER BY d, c)."""
+    from alp_spark.algorithms.kmeans import kpp_draws
+
+    first, samples = kpp_draws(KM_N, KM_K, KM_SEED)
+    blocks = [f"""pts AS MATERIALIZED (
+  SELECT vec_id AS id, t.p AS pos, CAST(embedding[t.p + 1] AS DOUBLE) AS val
+  FROM embeddings, range({EMB_DIM}) t(p)
+),
+emb_ids AS MATERIALIZED (SELECT DISTINCT id FROM pts),
+sel0 AS MATERIALIZED (SELECT id FROM emb_ids ORDER BY id LIMIT 1 OFFSET {first}),
+c0 AS MATERIALIZED (
+  SELECT pos, val FROM pts WHERE id = (SELECT id FROM sel0)
+),
+m0 AS MATERIALIZED (SELECT id, 1e308 AS mind FROM emb_ids)"""]
+    for l in range(1, KM_K):
+        blocks.append(f"""d{l} AS MATERIALIZED (
+  SELECT p.id, sum((p.val - c.val) * (p.val - c.val)) AS d
+  FROM pts p JOIN c{l - 1} c USING (pos) GROUP BY p.id
+),
+m{l} AS MATERIALIZED (
+  SELECT m.id, least(m.mind, d.d) AS mind FROM m{l - 1} m JOIN d{l} d USING (id)
+),
+r{l} AS MATERIALIZED (SELECT sum(mind) AS rng FROM m{l}),
+cum{l} AS MATERIALIZED (
+  SELECT d.id,
+         sum(d.d / r.rng) OVER (ORDER BY d.id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM d{l} d CROSS JOIN r{l} r
+),
+sel{l} AS MATERIALIZED (
+  SELECT coalesce((SELECT min(id) FROM cum{l} WHERE cum >= {samples[l - 1]!r}),
+                  (SELECT max(id) FROM emb_ids)) AS id
+),
+c{l} AS MATERIALIZED (
+  SELECT pos, val FROM pts WHERE id = (SELECT id FROM sel{l})
+)""")
+    k0 = " UNION ALL ".join(
+        f"SELECT {j} AS c, pos, val FROM c{j}" for j in range(KM_K)
+    )
+    blocks.append(f"k0 AS MATERIALIZED ({k0})")
+    for t in range(1, KM_SQL_ROUNDS + 1):
+        blocks.append(f"""dd{t} AS MATERIALIZED (
+  SELECT p.id, k.c, sum((p.val - k.val) * (p.val - k.val)) AS d
+  FROM pts p JOIN k{t - 1} k USING (pos) GROUP BY p.id, k.c
+),
+a{t} AS MATERIALIZED (
+  SELECT id, c, d FROM (
+    SELECT id, c, d,
+           row_number() OVER (PARTITION BY id ORDER BY d, c) AS rn
+    FROM dd{t}
+  ) WHERE rn = 1
+),
+k{t} AS MATERIALIZED (
+  SELECT o.c, o.pos, coalesce(nv.val, o.val) AS val
+  FROM k{t - 1} o LEFT JOIN (
+    SELECT a.c, p.pos, sum(p.val) / count(*) AS val
+    FROM a{t} a JOIN pts p USING (id) GROUP BY a.c, p.pos
+  ) nv ON nv.c = o.c AND nv.pos = o.pos
+)""")
+    joined = ",\n".join(blocks)
+    return f"""WITH {joined}
+SELECT id, c AS cluster, round(d, 6) AS dist FROM a{KM_SQL_ROUNDS}"""
+
+
+def _sparse_nn_sql() -> str:
+    """Unrolled thresholded sparse-NN inference (mirrors
+    algorithms/sparse_nn.py / sparse_nn_single_inference.hpp:131-171):
+    layers 0..L-2 applied with biases[1..L-1], relu+clamp between
+    layers and once at the end."""
+    steps = []
+    prev = "x0"
+    for i in range(NN_LAYERS - 1):
+        w = f"(((e.src * 31 + e.dst * 17 + {i * 101}) % 13 - 6) / 10.0)"
+        steps.append(f"""y{i} AS MATERIALIZED (
+  SELECT e.dst AS id, sum(x.v * {w}) AS v
+  FROM edges e JOIN {prev} x ON e.src = x.id GROUP BY e.dst
+),
+a{i} AS MATERIALIZED (
+  SELECT r.id,
+         least(greatest(coalesce(y.v, 0) + {NN_BIAS}, 0.0), {NN_THRESHOLD}) AS v
+  FROM range({N_V}) r(id) LEFT JOIN y{i} y ON y.id = r.id
+)""")
+        prev = f"a{i}"
+    joined = ",\n".join(steps)
+    return f"""WITH {E_SQL},
+x0 AS (
+  SELECT id, ((id % 23) + 1) / 23.0 AS v FROM range({N_V}) t(id)
+  WHERE id % 7 = 0
+),
+{joined}
+SELECT id, round(v, 6) AS activation FROM {prev}"""
 
 
 def _kcore_sql(rounds: int = None) -> str:
@@ -1223,6 +1386,8 @@ SELECT id, true AS reached FROM hop2""",
         "pregel_pagerank": _pregel_pagerank_sql(PPR_CONV_UPDATES),
         "cg3": _cg3_sql(),
         "bicgstab": _bicgstab_sql(),
+        "kmeans": _kmeans_sql(),
+        "sparse_nn": _sparse_nn_sql(),
         "kcore": _kcore_sql(),
         "label_prop1": _label_prop_sql(1),
         "label_prop_converged": _label_prop_sql(LP_CONV_ROUNDS),

@@ -2,9 +2,11 @@
 
 from .connected_components import connected_components  # noqa: F401
 from .kcore import kcore_decomposition  # noqa: F401
+from .kmeans import kmeans, kpp_initialisation  # noqa: F401
 from .label_propagation import label_propagation  # noqa: F401
 from .mpv import knn, mpv  # noqa: F401
 from .pregel_pagerank import pregel_pagerank  # noqa: F401
 from .simple_pagerank import simple_pagerank  # noqa: F401
 from .solvers import bicgstab, conjugate_gradient  # noqa: F401
+from .sparse_nn import sparse_nn_single_inference  # noqa: F401
 from .triangles import triangle_count  # noqa: F401

@@ -56,6 +56,7 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import DataType, StructType, _parse_datatype_string
 
 from . import algebra as alg
 from .containers import DST, ID, SRC, VAL
@@ -82,6 +83,58 @@ VertexProgram = Callable[[pd.DataFrame, PregelContext], pd.DataFrame]
 
 _STATE_COLS = ["id", "state", "out", "active", "halt", "outdegree", "indegree"]
 _SPARSIFY = ("none", "always", "when_reduced", "when_halved")
+
+
+# --- struct-typed state/messages (reference vertex programs take
+# arbitrary POD state, interfaces/pregel.hpp:508-663) ------------------------
+#
+# A struct ``state_type``/``msg_type`` crosses the Arrow boundary
+# FLATTENED into one column per field (``state__<field>``,
+# ``out__<field>``, ``incoming__<field>``) so vertex programs keep
+# operating on NumPy arrays — Arrow struct columns would otherwise
+# surface as per-row python dicts in pandas. The runtime reassembles
+# the struct right after the program pass; everything outside the
+# program (joins, masks, the combiner agg) sees ordinary struct
+# Columns, which Spark compares/aggregates natively (the pair monoids
+# ARGMIN/ARGMAX already fold struct(val, idx)).
+
+def _struct_lit(value, dt: DataType):
+    """Literal Column for a scalar or a struct-typed tuple value."""
+    if isinstance(dt, StructType):
+        vals = value if isinstance(value, (tuple, list)) else (value,) * len(dt)
+        return F.struct(
+            *[
+                F.lit(v).cast(f.dataType).alias(f.name)
+                for v, f in zip(vals, dt.fields)
+            ]
+        )
+    return F.lit(value).cast(dt)
+
+
+def _flat_fields(name: str, dt: DataType) -> list[tuple[str, str]]:
+    """(flat column name, type ddl) pairs for one logical column."""
+    if isinstance(dt, StructType):
+        return [
+            (f"{name}__{f.name}", f.dataType.simpleString()) for f in dt.fields
+        ]
+    return [(name, dt.simpleString())]
+
+
+def _flatten(name: str, dt: DataType) -> list:
+    if isinstance(dt, StructType):
+        return [
+            F.col(f"{name}.{f.name}").alias(f"{name}__{f.name}")
+            for f in dt.fields
+        ]
+    return [F.col(name)]
+
+
+def _reassemble(name: str, dt: DataType):
+    if isinstance(dt, StructType):
+        return F.struct(
+            *[F.col(f"{name}__{f.name}").alias(f.name) for f in dt.fields]
+        ).alias(name)
+    return F.col(name)
 
 
 def _degrees(spark: SparkSession, edges: DataFrame, n: int) -> DataFrame:
@@ -132,11 +185,21 @@ def pregel(
     if sparsify not in _SPARSIFY:
         raise ValueError(f"sparsify must be one of {_SPARSIFY}")
     nnz = num_edges if num_edges is not None else edges.count()
-    msg_id = combiner.identity
+    state_dt = _parse_datatype_string(state_type)
+    msg_dt = _parse_datatype_string(msg_type)
+    msg_id_col = _struct_lit(combiner.identity, msg_dt)
 
-    schema = (
-        f"id long, state {state_type}, out {msg_type}, active boolean, "
-        f"halt boolean, outdegree long, indegree long, _ran boolean"
+    flat_state = _flat_fields("state", state_dt)
+    flat_out = _flat_fields("out", msg_dt)
+    flat_incoming = _flat_fields("incoming", msg_dt)
+    schema = ", ".join(
+        ["id long"]
+        + [f"{n_} {t}" for n_, t in flat_state]
+        + [f"{n_} {t}" for n_, t in flat_out]
+        + [
+            "active boolean", "halt boolean", "outdegree long",
+            "indegree long", "_ran boolean",
+        ]
     )
 
     if resume_state is not None:
@@ -147,11 +210,15 @@ def pregel(
         # init_use_index: state := vertex id (set<use_index>,
         # descriptors.hpp:167 — the Pregel CC label init,
         # pregel_connected_components.hpp:136)
-        init_col = F.col(ID) if init_use_index else F.lit(initial_state)
+        init_col = (
+            F.col(ID).cast(state_type)
+            if init_use_index
+            else _struct_lit(initial_state, state_dt)
+        )
         state = deg.select(
             ID,
-            init_col.cast(state_type).alias("state"),
-            F.lit(msg_id).cast(msg_type).alias("out"),
+            init_col.alias("state"),
+            msg_id_col.alias("out"),
             F.lit(True).alias("active"),
             F.lit(False).alias("halt"),
             "outdegree",
@@ -164,7 +231,22 @@ def pregel(
     state = state.withColumn("_out_live", live_init)
     state = state.localCheckpoint(eager=True)
 
-    out_cols = _STATE_COLS + ["_ran"]
+    # flattened column order the program receives and must return —
+    # matches ``schema`` above
+    out_cols = (
+        ["id"]
+        + [n_ for n_, _ in flat_state]
+        + [n_ for n_, _ in flat_out]
+        + ["active", "halt", "outdegree", "indegree", "_ran"]
+    )
+    prog_in = (
+        [F.col("id")]
+        + _flatten("state", state_dt)
+        + _flatten("out", msg_dt)
+        + [F.col("active"), F.col("halt"), F.col("outdegree"), F.col("indegree")]
+        + _flatten("incoming", msg_dt)
+        + [F.col("_ran")]
+    )
 
     # instrument the Arrow program pass: rows actually serialized through
     # Python per run (test hook for the O(active) contract; task retries
@@ -201,9 +283,7 @@ def pregel(
         split = n_active < n
         active_state = state.where("active") if split else state
         if step == 0 and resume_state is None:
-            cur = active_state.withColumn(
-                "incoming", F.lit(msg_id).cast(msg_type)
-            )
+            cur = active_state.withColumn("incoming", msg_id_col)
         else:
             out_vec = (
                 state.where("_out_live") if sparsify != "none" else state
@@ -221,7 +301,7 @@ def pregel(
             cur = active_state.join(
                 msgs.select(ID, F.col(VAL).alias("_msg")), on=ID, how="left"
             ).withColumn(
-                "incoming", F.coalesce(F.col("_msg"), F.lit(msg_id).cast(msg_type))
+                "incoming", F.coalesce(F.col("_msg"), msg_id_col)
             ).drop("_msg")
 
         # ---- sparsify-out (reference order: right after the vxm, before
@@ -233,7 +313,7 @@ def pregel(
         )
         if do_sparsify:
             # live := active, out := combiner identity on the live set
-            cur = cur.withColumn("out", F.lit(msg_id).cast(msg_type))
+            cur = cur.withColumn("out", msg_id_col)
             out_nnz = n_active
 
         cur = (
@@ -241,8 +321,13 @@ def pregel(
             .withColumn("halt", F.lit(False))  # votes reset (pregel.hpp:865-870)
         )
         ctx = PregelContext(round=step, num_vertices=n, num_edges=nnz, data=data)
-        programmed = cur.select(*_STATE_COLS, "incoming", "_ran").mapInPandas(
+        programmed = cur.select(*prog_in).mapInPandas(
             run_program(ctx), schema=schema
+        ).select(
+            ID,
+            _reassemble("state", state_dt),
+            _reassemble("out", msg_dt),
+            "active", "halt", "outdegree", "indegree", "_ran",
         )
         # programmed rows are always live: live ⊇ active is invariant
         # (sparsify sets live := active; active only shrinks)

@@ -307,3 +307,69 @@ def bicgstab(n, entries, b, tol=1e-5, max_iterations=1000):
             break
         rho_old = rho
     return x, iters, residual, converged
+
+
+def kmeans_oracle(X, k, seed, max_iter=100):
+    """kmeans.hpp:60-373 over a dense point matrix X (rows = points in
+    id order): seeded kpp (reproducing the reference's scan of
+    latest-centroid distances against the Σ-min-distances range,
+    kmeans.hpp:142-168) + Lloyd's to the assignment fixpoint."""
+    from alp_spark.algorithms.kmeans import kpp_draws
+
+    X = np.asarray(X, dtype=float)
+    n = len(X)
+    first, samples = kpp_draws(n, k, seed)
+    sel = first
+    mind = np.full(n, np.inf)
+    cents = []
+    for l in range(k):
+        c = X[sel].copy()
+        cents.append(c)
+        if l == k - 1:
+            break
+        dl = ((X - c) ** 2).sum(axis=1)
+        mind = np.minimum(mind, dl)
+        cum = np.cumsum(dl / mind.sum())
+        hits = np.nonzero(cum >= samples[l])[0]
+        sel = int(hits[0]) if len(hits) else n - 1
+    C = np.array(cents)
+    assign = dist = None
+    iters = 0
+    converged = False
+    while iters < max_iter:
+        iters += 1
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)  # ties -> smaller cluster index
+        dist = d.min(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            m = assign == j
+            if m.any():  # empty cluster keeps its centroid
+                newC[j] = X[m].sum(axis=0) / m.sum()
+        if np.array_equal(newC, C):
+            converged = True
+            break
+        C = newC
+    return assign, dist, C, iters, converged
+
+
+def sparse_nn_oracle(n, layer_entries, biases, x0, threshold=None):
+    """sparse_nn_single_inference.hpp:131-171: layers[0..L-2] applied
+    with biases[1..L-1]; relu (+clamp) between layers and at the end."""
+    L = len(layer_entries)
+    mats = []
+    for entries in layer_entries:
+        W = np.zeros((n, n))
+        for s, d, w in entries:
+            W[s, d] = w
+        mats.append(W)
+    out = np.asarray(x0, dtype=float) @ mats[0] + biases[1]
+    for i in range(1, L - 1):
+        out = np.maximum(out, 0.0)
+        if threshold is not None:
+            out = np.minimum(out, threshold)
+        out = out @ mats[i] + biases[i + 1]
+    out = np.maximum(out, 0.0)
+    if threshold is not None:
+        out = np.minimum(out, threshold)
+    return out

@@ -1,0 +1,104 @@
+"""kmeans (kmeans.hpp:60-373) and sparse-NN inference
+(sparse_nn_single_inference.hpp:53-176) vs NumPy transliteration
+oracles, plus the reference's ILLEGAL input checks."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from alp_spark.algorithms import kmeans, sparse_nn_single_inference
+from alp_spark.algorithms.kmeans import kpp_initialisation
+
+from .fixtures import edges_df, vec_df
+from .oracles import kmeans_oracle, sparse_nn_oracle
+
+
+def _blobs(n=40, m=5, k=3, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.uniform(-5, 5, size=(k, m))
+    X = np.vstack(
+        [centers[i % k] + 0.5 * rng.randn(m) for i in range(n)]
+    )
+    return X
+
+
+def _points_df(spark, X):
+    rows = [(int(i), [float(v) for v in x]) for i, x in enumerate(X)]
+    return spark.createDataFrame(rows, "id long, vec array<double>")
+
+
+def test_kmeans_matches_numpy_oracle(spark):
+    X = _blobs()
+    pts = _points_df(spark, X)
+    res = kmeans(spark, pts, k=3, seed=11, max_iter=50)
+    want_assign, want_dist, want_C, want_iters, want_conv = kmeans_oracle(
+        X, k=3, seed=11
+    )
+    got = {r["id"]: (r["cluster"], r["dist"]) for r in res.assignments.collect()}
+    got_assign = np.array([got[i][0] for i in range(len(X))])
+    got_dist = np.array([got[i][1] for i in range(len(X))])
+    np.testing.assert_array_equal(got_assign, want_assign)
+    np.testing.assert_allclose(got_dist, want_dist, rtol=1e-9, atol=1e-12)
+    np.testing.assert_allclose(res.centroids, want_C, rtol=1e-9, atol=1e-12)
+    assert res.converged == want_conv
+    assert res.iterations == want_iters
+
+
+def test_kpp_initialisation_selects_data_points(spark):
+    X = _blobs(n=25, m=4, k=4)
+    pts = _points_df(spark, X)
+    cents = kpp_initialisation(spark, pts, k=4, seed=7)
+    rows = {tuple(np.round(x, 9)) for x in X}
+    assert len(cents) == 4
+    for c in cents:
+        assert tuple(np.round(c, 9)) in rows  # every seed IS a point
+
+
+def test_kmeans_rejects_bad_k(spark):
+    pts = _points_df(spark, _blobs(n=6))
+    with pytest.raises(ValueError):
+        kmeans(spark, pts, k=0, seed=1)
+
+
+def _nn_fixture(n=12, layers=4, seed=5):
+    rng = np.random.RandomState(seed)
+    layer_entries = []
+    for l in range(layers):
+        entries = [
+            (i, j, float(rng.uniform(-0.6, 0.6)))
+            for i in range(n)
+            for j in range(n)
+            if rng.rand() < 0.3
+        ]
+        layer_entries.append(entries)
+    x0 = np.zeros(n)
+    x0[:: 3] = np.linspace(0.2, 1.0, len(x0[::3]))
+    return n, layer_entries, x0
+
+
+@pytest.mark.parametrize("threshold", [None, 0.5])
+def test_sparse_nn_matches_numpy_oracle(spark, threshold):
+    n, layer_entries, x0 = _nn_fixture()
+    biases = [-0.1] * len(layer_entries)
+    L = [edges_df(spark, e, val=True) for e in layer_entries]
+    xdf = vec_df(spark, [(i, float(v)) for i, v in enumerate(x0) if v != 0.0])
+    out = sparse_nn_single_inference(
+        spark, xdf, L, biases, n, threshold=threshold
+    )
+    got = np.zeros(n)
+    for r in out.collect():
+        got[r["id"]] = r["val"]
+    want = sparse_nn_oracle(n, layer_entries, biases, x0, threshold=threshold)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    assert len(got) == n  # dense output (reference foldl<dense>)
+
+
+def test_sparse_nn_rejects_reference_illegal(spark):
+    n, layer_entries, x0 = _nn_fixture(layers=2)
+    L = [edges_df(spark, e, val=True) for e in layer_entries]
+    xdf = vec_df(spark, [(0, 1.0)])
+    with pytest.raises(ValueError):  # biases length mismatch
+        sparse_nn_single_inference(spark, xdf, L, [0.0], n)
+    with pytest.raises(ValueError):  # 1-layer call is reference UB
+        sparse_nn_single_inference(spark, xdf, L[:1], [0.0], n)

@@ -120,3 +120,28 @@ def test_sparsify_noop_for_halt_vote_programs(spark):
     got = state_arr(res.state, n, dtype=np.int64)
     np.testing.assert_array_equal(got, want)
     assert res.rounds == want_rounds
+
+
+@pytest.mark.parametrize("local", [False, True])
+def test_pregel_struct_state_pagerank_residual(spark, local):
+    """Struct-typed state (interfaces/pregel.hpp:508-663 arbitrary POD):
+    the residual-carrying program must reproduce the scalar program's
+    scores, round count, and halting bit-for-bit, with the in-state
+    residual equal to the final round's |Δscore|."""
+    from alp_spark.algorithms.pregel_pagerank import pregel_pagerank_residual
+
+    n, edges = g10_line_hub()
+    E = edges_df(spark, edges)
+    scalar = pregel_pagerank(spark, E, n, local_converge=local)
+    struct = pregel_pagerank_residual(spark, E, n, local_converge=local)
+    s_scores = state_arr(scalar.state, n)
+    rows = {r["id"]: r["state"] for r in struct.state.collect()}
+    got_scores = np.array([rows[i]["score"] for i in range(n)])
+    got_resid = np.array([rows[i]["residual"] for i in range(n)])
+    np.testing.assert_array_equal(got_scores, s_scores)
+    assert struct.rounds == scalar.rounds
+    assert struct.converged == scalar.converged
+    # every residual is a genuine |Δ|; on global halt all are < tol
+    assert (got_resid >= 0).all()
+    if not local:
+        assert (got_resid < 1e-5).all()
