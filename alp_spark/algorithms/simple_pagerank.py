@@ -185,6 +185,7 @@ def simple_pagerank_csr(
     checkpointer=None,
     checkpoint_every: int = 5,
     max_driver_n: int = 1_000_000_000,
+    engine: str = "auto",
 ) -> PageRankResult:
     """Same semantics as :func:`simple_pagerank`, executed over one-time
     packed CSR edge blocks (north-star physical form; see
@@ -195,11 +196,15 @@ def simple_pagerank_csr(
     dangling fold, residual) runs as driver numpy — the analog of ALP's
     fused ``eWiseLambda`` steps (simple_pagerank.hpp:291-302/402-416).
     The rank-vector hand-off picks its transport automatically (local →
-    file, cluster → TorrentBroadcast; csr_blocks.spmv_dense). Valid
-    while the rank vector fits driver memory: above ``max_driver_n``
-    (default 10^9 ≈ 8 GB at f64) this AUTOMATICALLY falls back to the
-    fully-distributed shuffle path of :func:`simple_pagerank` — the
-    reference's loop-size strategy switch (reference/blas2.hpp:1104).
+    file, cluster → TorrentBroadcast; csr_blocks.spmv_dense).
+
+    ``engine``: 'driver' keeps the O(n) vector algebra on the driver
+    (fastest at small n — no per-superstep shuffle); 'segments' runs it
+    executor-side over per-range segment files with O(P) driver traffic
+    (:mod:`alp_spark.plans.csr_segloop`); 'auto' switches to 'segments'
+    above ``max_driver_n`` (default 10^9 ≈ 8 GB of f64 on the driver) —
+    the loop-size strategy switch of reference/blas2.hpp:1104, now with
+    no driver ceiling at all on the far side.
     """
     import numpy as np
 
@@ -207,11 +212,27 @@ def simple_pagerank_csr(
 
     if not 0 < alpha < 1 or max_iter <= 0:
         raise ValueError("alpha must be in (0,1), max_iter > 0")
-    if n > max_driver_n:
-        return simple_pagerank(
-            spark, edges, n, alpha=alpha, conv=conv, max_iter=max_iter,
-            checkpointer=checkpointer, checkpoint_every=checkpoint_every,
-            strategy="shuffle",
+    if engine not in ("auto", "driver", "segments"):
+        raise ValueError("engine must be auto|driver|segments")
+    if engine == "segments" or (engine == "auto" and n > max_driver_n):
+        from ..plans.csr_segloop import pagerank_csr_segments
+
+        csr = build_csr_blocks(spark, edges, n, n_partitions=n_partitions)
+        try:
+            seg = pagerank_csr_segments(
+                spark, csr, edges, alpha=alpha, conv=conv, max_iter=max_iter
+            )
+            ranks = seg.ranks.localCheckpoint(eager=True)  # outlives the files
+        finally:
+            csr.unpersist()
+        if checkpointer is not None:
+            checkpointer.save(
+                ranks, superstep=seg.iterations,
+                metrics={"residual": seg.residual}, final=True,
+            )
+        return PageRankResult(
+            ranks=ranks, iterations=seg.iterations,
+            residual=seg.residual, residuals=seg.residuals,
         )
 
     csr = build_csr_blocks(spark, edges, n, n_partitions=n_partitions)

@@ -1,0 +1,270 @@
+"""Executor-resident superstep loop over CSR segment files.
+
+Lifts the documented driver ceiling of :mod:`alp_spark.plans.csr_blocks`
+(n·8-byte per-superstep collect + dense driver-side rank vector, i.e.
+n ≈ 10⁹): the rank/contribution vectors live as per-range ``.npy``
+segment files, the sub-chunk partial segments ⊕-combine EXECUTOR-side
+behind one keyed shuffle on the range id (the reduceByKey form of ALP's
+inter-process ``collectives::allreduce`` of vector segments,
+reference/base/collectives.hpp), and the per-element PageRank algebra
+(dangling fold, α-scale, residual) runs inside the combine task. The
+driver sees ONE stats row per range per superstep — O(P), not O(n).
+
+Per superstep (ONE Spark job, two stages):
+
+  stage 1 (compute, round-robin over chunks): assemble the dense x from
+    the per-range segment files (sequential reads, Σ = n·8 bytes per
+    worker — the same volume as the single-file transport of
+    ``spmv_dense``), gather+bincount each cached chunk, emit
+    (pid, partial seg);
+  stage 2 (combine, keyed by pid): ⊕ the partials, apply
+    pr' = y + d  (d = this round's dangling/teleport scalar, a closure
+    literal), write the pid's pr' and x' = pr'·inv segment files, emit
+    (pid, Σ|pr'−pr|, Σ pr'[dangling]) — the stats the driver needs to
+    form the NEXT round's scalar d and the convergence decision.
+
+The dense-x-per-worker assumption of the CSR design is unchanged
+(executor memory O(n·8 B)); only the driver leaves the O(n) path.
+Transport: segment files on ``cache_dir`` — driver-shared by
+construction in local mode; on a multi-executor cluster point
+``cache_dir`` at shared storage (NFS / fuse-mounted object store), the
+same deployment note as ``spmv_dense(x_transport='file')``.
+
+Cited parity: the update algebra mirrors
+algorithms/simple_pagerank.py:231-245 (itself simple_pagerank.hpp:
+291-302/402-416); results match the driver-vector path bit-for-bit
+except float summation order inside Σ-stats (values: exact — the
+per-element ops are identical elementwise arithmetic).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..containers import ID, SRC, VAL
+from .csr_blocks import CsrBlocks, _contrib_buf, _load_chunk, _WORKSPACE
+
+
+@dataclass
+class SegPageRankResult:
+    ranks: DataFrame  # (id, val) — assembled distributed, never on the driver
+    iterations: int
+    residual: float
+    residuals: list[float]
+    driver_rows_per_step: int  # stats rows collected per superstep (= P)
+
+
+def _seg_path(cache_dir: str, tag: str, it: int, pid: int) -> str:
+    return os.path.join(cache_dir, f"{tag}_{it}_{pid}.npy")
+
+
+def _aux_path(cache_dir: str, pid: int) -> str:
+    return os.path.join(cache_dir, f"aux_{pid}.npz")
+
+
+def _ranges(n: int, width: int) -> list[tuple[int, int, int]]:
+    """(pid, lo, width) covering [0, n) — includes edge-free ranges."""
+    out = []
+    pid, lo = 0, 0
+    while lo < n:
+        out.append((pid, lo, min(width, n - lo)))
+        pid += 1
+        lo += width
+    return out
+
+
+def _load_x_segments(cache_dir: str, tag: str, it: int,
+                     ranges: list[tuple[int, int, int]], n: int) -> np.ndarray:
+    """Assemble dense x from per-range files into the reused workspace
+    buffer (sequential reads in range order)."""
+    buf = _WORKSPACE.get("x")
+    if buf is None or len(buf) != n:
+        buf = np.empty(n, dtype=np.float64)
+        _WORKSPACE["x"] = buf
+    for pid, lo, w in ranges:
+        with open(_seg_path(cache_dir, tag, it, pid), "rb") as fh:
+            fh.seek(-w * 8, 2)  # npy payload = trailing w*8 bytes
+            fh.readinto(memoryview(buf[lo : lo + w]).cast("B"))
+    return buf
+
+
+def build_aux_segments(
+    spark: SparkSession,
+    csr: CsrBlocks,
+    edges: DataFrame,
+    width: int,
+    alpha: float,
+) -> int:
+    """One-time per-range aux files: inv = α/outdeg (0 where dangling)
+    and the dangling mask, from one distributed degree aggregation.
+    Returns the global dangling-vertex count (for the round-0 scalar)."""
+    n, cache_dir = csr.n, csr.cache_dir
+    ranges = _ranges(n, width)
+    deg = (
+        edges.groupBy(F.col(SRC).alias(ID))
+        .agg(F.count("*").alias("deg"))
+        .withColumn("pid", (F.col(ID) / F.lit(width)).cast("int"))
+    )
+    # seed every range so edge-free ranges still get aux files
+    seed = spark.createDataFrame(
+        [(p, -1, 0) for p, _, _ in ranges], f"pid int, {ID} long, deg long"
+    )
+
+    def write_aux(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        lo = pid * width
+        w = min(width, n - lo)
+        outdeg = np.zeros(w, dtype=np.float64)
+        real = pdf[pdf[ID] >= 0]
+        if len(real):
+            outdeg[real[ID].to_numpy(dtype=np.int64) - lo] = real["deg"].to_numpy()
+        mask = outdeg == 0.0
+        inv = np.where(mask, 0.0, alpha / np.where(mask, 1.0, outdeg))
+        np.savez(_aux_path(cache_dir, pid), inv=inv, mask=mask)
+        return pd.DataFrame({"pid": [pid], "n_dangling": [int(mask.sum())]})
+
+    stats = (
+        deg.select("pid", ID, "deg")
+        .unionByName(seed)
+        .groupBy("pid")
+        .applyInPandas(write_aux, schema="pid int, n_dangling long")
+        .toPandas()
+    )
+    return int(stats["n_dangling"].sum())
+
+
+def pagerank_csr_segments(
+    spark: SparkSession,
+    csr: CsrBlocks,
+    edges: DataFrame,
+    alpha: float = 0.85,
+    conv: float = 1e-7,
+    max_iter: int = 1000,
+) -> SegPageRankResult:
+    """PageRank over packed CSR chunks with O(P) driver traffic per
+    superstep (semantics of algorithms/simple_pagerank.py:231-245)."""
+    if not 0 < alpha < 1 or max_iter <= 0:
+        raise ValueError("alpha must be in (0,1), max_iter > 0")
+    n, cache_dir, layout = csr.n, csr.cache_dir, csr.layout
+    if layout != "src":
+        raise ValueError("segment loop needs layout='src' (plus ring)")
+    width = int(csr.meta["width"].max()) if len(csr.meta) else n
+    # meta widths are min(width, n-lo) — recover the build width from lo
+    if len(csr.meta) > 1:
+        los = sorted(set(csr.meta["lo"]))
+        width = int(los[1] - los[0]) if len(los) > 1 else int(csr.meta["width"].max())
+    ranges = _ranges(n, width)
+    n_pids = len(ranges)
+    n_dangling = build_aux_segments(spark, csr, edges, width, alpha)
+
+    # ---- round 0: write pr0 = 1/n and x0 = pr0·inv segments (executor) ----
+    rng_df = spark.createDataFrame(
+        [(p, lo, w) for p, lo, w in ranges], "pid int, lo long, width int"
+    ).repartition(min(n_pids, csr.n_partitions))
+
+    def init_segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                aux = np.load(_aux_path(cache_dir, row.pid))
+                pr0 = np.full(row.width, 1.0 / n)
+                np.save(_seg_path(cache_dir, "pr", 0, row.pid), pr0)
+                np.save(_seg_path(cache_dir, "x", 0, row.pid), pr0 * aux["inv"])
+            yield pd.DataFrame({"pid": pdf["pid"]})
+
+    rng_df.mapInPandas(init_segs, schema="pid int").count()
+
+    meta_df = spark.createDataFrame(csr.meta).repartition(csr.n_partitions)
+    meta_df = meta_df.localCheckpoint(eager=True)  # reused every superstep
+
+    dangling = n_dangling / n  # Σ pr0[mask] with pr0 = 1/n
+    iters, residual, residuals = 0, float("inf"), []
+    while True:
+        it = iters
+        d = (alpha * dangling + 1.0 - alpha) / n
+
+        def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            xv = _load_x_segments(cache_dir, "x", it, ranges, n)
+            for pdf in batches:
+                out = {"pid": [], "seg": []}
+                for row in pdf.itertuples(index=False):
+                    src, dstoff = _load_chunk(row.path, "src")
+                    contrib = np.take(
+                        xv, src, out=_contrib_buf(len(src)), mode="clip"
+                    )
+                    seg = np.bincount(dstoff, weights=contrib, minlength=row.width)
+                    out["pid"].append(row.pid)
+                    out["seg"].append(seg.tobytes())
+                yield pd.DataFrame(out)
+
+        def combine(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(key[0])
+            lo = pid * width
+            w = min(width, n - lo)
+            y = np.zeros(w, dtype=np.float64)
+            for blob in pdf["seg"]:
+                if len(blob):  # zero-seed rows for edge-free ranges
+                    y += np.frombuffer(blob, dtype=np.float64)
+            aux = np.load(_aux_path(cache_dir, pid))
+            pr_old = np.load(_seg_path(cache_dir, "pr", it, pid))
+            pr_new = y + d
+            np.save(_seg_path(cache_dir, "pr", it + 1, pid), pr_new)
+            np.save(_seg_path(cache_dir, "x", it + 1, pid), pr_new * aux["inv"])
+            return pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "resid": [float(np.abs(pr_new - pr_old).sum())],
+                    "dangling": [float(pr_new[aux["mask"]].sum())],
+                }
+            )
+
+        # zero-seed rows keep ranges with no in-edges in the combine
+        seeds = spark.createDataFrame(
+            [(p, bytearray(0)) for p, _, _ in ranges], "pid int, seg binary"
+        )
+        stats = (
+            meta_df.mapInPandas(compute, schema="pid int, seg binary")
+            .unionByName(seeds)
+            .groupBy("pid")
+            .applyInPandas(combine, schema="pid int, resid double, dangling double")
+            .toPandas()
+        )  # P rows — the ONLY per-superstep driver traffic
+        residual = float(stats["resid"].sum())
+        dangling = float(stats["dangling"].sum())
+        residuals.append(residual)
+        iters += 1
+        # retire superstep it-1 files (it's inputs may still be cached)
+        if it >= 1:
+            for p, _, _ in ranges:
+                for tag in ("pr", "x"):
+                    try:
+                        os.unlink(_seg_path(cache_dir, tag, it - 1, p))
+                    except OSError:
+                        pass
+        if (conv != 0.0 and residual <= conv) or iters >= max_iter:
+            break
+
+    final_it = iters
+
+    def read_ranks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                seg = np.load(_seg_path(cache_dir, "pr", final_it, row.pid))
+                yield pd.DataFrame(
+                    {ID: np.arange(row.lo, row.lo + row.width), VAL: seg}
+                )
+
+    ranks = rng_df.mapInPandas(read_ranks, schema=f"{ID} long, {VAL} double")
+    return SegPageRankResult(
+        ranks=ranks,
+        iterations=iters,
+        residual=residual,
+        residuals=residuals,
+        driver_rows_per_step=n_pids,
+    )
