@@ -273,3 +273,140 @@ def bicgstab(
         residual=residual,
         converged=converged,
     )
+
+
+# --- complex-valued CG (the reference smoke's _CG_COMPLEX variant,
+# tests/smoke/conjugate_gradient.cpp:36-37) ----------------------------------
+
+@dataclass
+class ComplexSolveResult:
+    x: DataFrame  # (id, re, im)
+    iterations: int
+    residual: float
+    converged: bool
+
+
+def _cmxv(A: DataFrame, st: DataFrame, rc: str, ic: str) -> DataFrame:
+    """(id, _tr, _ti) = A · (st[rc] + i·st[ic]) — one edge join +
+    groupBy with both component sums in a single aggregation."""
+    v = st.select(
+        F.col(ID).alias("_vid"), F.col(rc).alias("_vr"), F.col(ic).alias("_vi")
+    )
+    return (
+        A.join(v, A["dst"] == v["_vid"])
+        .groupBy(F.col("src").alias(ID))
+        .agg(
+            F.sum(F.col("re") * F.col("_vr") - F.col("im") * F.col("_vi")).alias("_tr"),
+            F.sum(F.col("re") * F.col("_vi") + F.col("im") * F.col("_vr")).alias("_ti"),
+        )
+    )
+
+
+def _cjoin_t(st: DataFrame, t: DataFrame) -> DataFrame:
+    return (
+        st.join(t, on=ID, how="left")
+        .withColumn("_tr", F.coalesce(F.col("_tr"), F.lit(0.0)))
+        .withColumn("_ti", F.coalesce(F.col("_ti"), F.lit(0.0)))
+    )
+
+
+def _cax(re, im, alpha: complex):
+    """(re + i·im) · alpha as a (re_expr, im_expr) pair of Columns."""
+    ar, ai = float(alpha.real), float(alpha.imag)
+    return (re * ar - im * ai, re * ai + im * ar)
+
+
+def conjugate_gradient_complex(
+    spark: SparkSession,
+    A: DataFrame,  # (src, dst, re, im) Hermitian positive definite
+    b: DataFrame,  # (id, re, im) dense
+    n: int,
+    tol: float = 1e-5,
+    max_iterations: int = 1000,
+) -> ComplexSolveResult:
+    """CG over ℂ (conjugate_gradient.hpp:159-426 with the is_complex
+    conjugations at :303/:317/:348/:382): every dot is the Hermitian
+    inner product ⟨a,b⟩ = Σ conj(a)·b, carried as a Python complex
+    scalar (re+im aggregates fused into ONE action per dot); vectors are
+    (re, im) double column pairs — the struct-typed analog of the
+    reference's std::complex IOType. Residual convention: sqrt|r̄·r| <
+    tol·sqrt|b̄·b|."""
+    if tol <= 0:
+        raise ValueError("tol must be positive (reference ILLEGAL)")
+
+    ids = spark.range(n).select(F.col("id").alias(ID))
+    st = (
+        ids.join(b.select(ID, F.col("re").alias("_br"), F.col("im").alias("_bi")),
+                 on=ID, how="left")
+        .select(
+            ID,
+            F.lit(0.0).alias("x_re"), F.lit(0.0).alias("x_im"),
+            F.coalesce("_br", F.lit(0.0)).alias("r_re"),
+            F.coalesce("_bi", F.lit(0.0)).alias("r_im"),
+            F.coalesce("_br", F.lit(0.0)).alias("u_re"),
+            F.coalesce("_bi", F.lit(0.0)).alias("u_im"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    row = st.agg(
+        F.sum(F.col("r_re") ** 2 + F.col("r_im") ** 2).alias("sr"),
+        F.lit(0.0).alias("si"),
+    ).collect()[0]
+    sigma = complex(float(row["sr"] or 0.0), 0.0)  # r̄·r is real
+    bnorm = abs(sigma)
+    eff_tol = tol * math.sqrt(bnorm)
+
+    residual = abs(sigma)
+    iters = 0
+    converged = math.sqrt(residual) < eff_tol
+    while not converged and iters < max_iterations:
+        iters += 1
+        st2 = _cjoin_t(st, _cmxv(A, st, "u_re", "u_im")).localCheckpoint(eager=False)
+        # denom = ū·(Au): Hermitian dot, ONE two-aggregate action
+        drow = st2.agg(
+            F.sum(
+                F.col("u_re") * F.col("_tr") + F.col("u_im") * F.col("_ti")
+            ).alias("dr"),
+            F.sum(
+                F.col("u_re") * F.col("_ti") - F.col("u_im") * F.col("_tr")
+            ).alias("di"),
+        ).collect()[0]
+        denom = complex(float(drow["dr"]), float(drow["di"]))
+        alpha = sigma / denom
+        au_r, au_i = _cax(F.col("u_re"), F.col("u_im"), alpha)
+        at_r, at_i = _cax(F.col("_tr"), F.col("_ti"), alpha)
+        st3 = st2.select(
+            ID,
+            (F.col("x_re") + au_r).alias("x_re"),
+            (F.col("x_im") + au_i).alias("x_im"),
+            (F.col("r_re") - at_r).alias("r_re"),
+            (F.col("r_im") - at_i).alias("r_im"),
+            "u_re", "u_im",
+        ).localCheckpoint(eager=False)
+        brow = st3.agg(
+            F.sum(F.col("r_re") ** 2 + F.col("r_im") ** 2).alias("br"),
+        ).collect()[0]
+        beta = complex(float(brow["br"]), 0.0)  # r̄·r real
+        residual = abs(beta)
+        if math.sqrt(residual) < eff_tol:
+            st = st3
+            converged = True
+            break
+        if iters >= max_iterations:
+            st = st3
+            break
+        k = beta / sigma
+        ku_r, ku_i = _cax(F.col("u_re"), F.col("u_im"), k)
+        st = st3.select(
+            ID, "x_re", "x_im", "r_re", "r_im",
+            (F.col("r_re") + ku_r).alias("u_re"),
+            (F.col("r_im") + ku_i).alias("u_im"),
+        )
+        sigma = beta
+
+    return ComplexSolveResult(
+        x=st.select(ID, F.col("x_re").alias("re"), F.col("x_im").alias("im")),
+        iterations=iters,
+        residual=math.sqrt(residual),
+        converged=converged,
+    )

@@ -94,9 +94,10 @@ def main() -> None:
     ap.add_argument(
         "--repeats",
         type=int,
-        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")),
-        help="outer repetitions per query (avg/std reported — the "
-        "reference Benchmarker outer-loop protocol, base/benchmark.hpp:64-71)",
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "10")),
+        help="outer repetitions per query (avg/std/min reported — the "
+        "reference Benchmarker outer-loop protocol, outer=10 per "
+        "base/config.hpp:216-222, base/benchmark.hpp:64-71)",
     )
     args = ap.parse_args()
 
@@ -124,6 +125,7 @@ def main() -> None:
     # per-round comparable number); std rides in `queries_std`.
     timings: dict[str, float] = {}
     stds: dict[str, float] = {}
+    mins: dict[str, float] = {}
     for name in names:
         runs = []
         for rep in range(max(args.repeats, 1)):
@@ -135,9 +137,10 @@ def main() -> None:
         var = sum((t - avg) ** 2 for t in runs) / len(runs)
         timings[name] = round(avg, 3)
         stds[name] = round(var ** 0.5, 3)
+        mins[name] = round(min(runs), 3)
         print(
-            f"# {name}: avg {avg:.3f}s ± {stds[name]:.3f} over {len(runs)} "
-            f"({n_rows} rows)",
+            f"# {name}: avg {avg:.3f}s ± {stds[name]:.3f} min {mins[name]:.3f} "
+            f"over {len(runs)} ({n_rows} rows)",
             file=sys.stderr,
         )
 
@@ -161,6 +164,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_std": stds,
+                "queries_min": mins,
                 "repeats": max(args.repeats, 1),
                 "sf": sf,
                 **extras,

@@ -373,3 +373,38 @@ def sparse_nn_oracle(n, layer_entries, biases, x0, threshold=None):
     if threshold is not None:
         out = np.minimum(out, threshold)
     return out
+
+
+def conjugate_gradient_complex(n, entries, b, tol=1e-5, max_iterations=1000):
+    """Complex CG (conjugate_gradient.hpp:159-426 with the is_complex
+    conjugations): Hermitian dots via np.vdot (conjugates first arg)."""
+    A = np.zeros((n, n), dtype=complex)
+    for s, d, re, im in entries:
+        A[s, d] = complex(re, im)
+    b = np.asarray(b, dtype=complex)
+    x = np.zeros(n, dtype=complex)
+    r = b.copy()
+    u = r.copy()
+    sigma = np.vdot(r, r)
+    bnorm = abs(sigma)
+    eff_tol = tol * np.sqrt(bnorm)
+    residual = abs(sigma)
+    iters = 0
+    converged = np.sqrt(residual) < eff_tol
+    while not converged and iters < max_iterations:
+        iters += 1
+        t = A @ u
+        denom = np.vdot(u, t)
+        alpha = sigma / denom
+        x = x + alpha * u
+        r = r - alpha * t
+        beta = np.vdot(r, r)
+        residual = abs(beta)
+        if np.sqrt(residual) < eff_tol:
+            converged = True
+            break
+        if iters >= max_iterations:
+            break
+        u = r + (beta / sigma) * u
+        sigma = beta
+    return x, iters, np.sqrt(residual), converged

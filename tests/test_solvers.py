@@ -116,3 +116,50 @@ def test_solvers_reject_bad_tol(spark):
         conjugate_gradient(spark, _mat_df(spark, A), _vec_df(spark, b), 5, tol=0.0)
     with pytest.raises(ValueError):
         bicgstab(spark, _mat_df(spark, A), _vec_df(spark, b), 5, tol=-1.0)
+
+
+def test_conjugate_gradient_complex_matches_numpy(spark):
+    """Complex CG (the smoke _CG_COMPLEX variant,
+    tests/smoke/conjugate_gradient.cpp:36-37) on a Hermitian
+    diagonally-dominant system vs the NumPy transliteration."""
+    import numpy as np
+
+    from alp_spark.algorithms.solvers import conjugate_gradient_complex
+    from .oracles import conjugate_gradient_complex as cgc_oracle
+
+    rng = np.random.RandomState(9)
+    n = 24
+    entries = []
+    deg = np.zeros(n)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if rng.rand() < 0.25:
+                re, im = -1.0, float(rng.uniform(-0.3, 0.3))
+                entries.append((i, j, re, im))
+                entries.append((j, i, re, -im))  # Hermitian mirror
+                deg[i] += 1
+                deg[j] += 1
+    for i in range(n):
+        entries.append((i, i, float(1.1 * deg[i] + 2.0), 0.0))  # HPD diagonal
+    bvec = [complex((i % 5 + 1) / 5.0, (i % 3 - 1) / 3.0) for i in range(n)]
+
+    A = spark.createDataFrame(entries, "src long, dst long, re double, im double")
+    b = spark.createDataFrame(
+        [(i, v.real, v.imag) for i, v in enumerate(bvec)],
+        "id long, re double, im double",
+    )
+    res = conjugate_gradient_complex(spark, A, b, n, tol=1e-8)
+    want_x, want_iters, want_res, want_conv = cgc_oracle(
+        n, entries, bvec, tol=1e-8
+    )
+    got = np.zeros(n, dtype=complex)
+    for r in res.x.collect():
+        got[r["id"]] = complex(r["re"], r["im"])
+    np.testing.assert_allclose(got, want_x, rtol=1e-8, atol=1e-10)
+    assert res.iterations == want_iters
+    assert res.converged == want_conv
+    # solution really solves the system
+    Adense = np.zeros((n, n), dtype=complex)
+    for s, d, re, im in entries:
+        Adense[s, d] = complex(re, im)
+    np.testing.assert_allclose(Adense @ got, np.array(bvec), rtol=1e-6, atol=1e-7)
