@@ -86,6 +86,7 @@ MINHASHES = 8
 BAND_SIZE = 2
 ANN_QUERIES = 10
 ANN_K = 3
+IVF_PROBE = 2  # IVF cells probed per query (of KM_K inverted lists)
 # near-dup cosine threshold: the synthetic embeddings top out at ~0.51
 # pairwise cosine, so 0.4 selects the genuine "close pair" tail
 DUP_COS = 0.4
@@ -635,6 +636,30 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate NN: kmeans-trained coarse quantizer (same KM_K /
+    KM_SEED fixpoint the `kmeans` query pins), probe the IVF_PROBE
+    nearest cells per query, exact-cosine rerank inside probed cells.
+    The data-adaptive twin of lsh_ann_topk. Oracle: the unrolled kmeans
+    CTE chain extended with probe selection + rerank."""
+    from alp_spark.algorithms import kmeans
+    from alp_spark.pipeline import ivf_topk
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    res = kmeans(
+        spark, emb, k=KM_K, seed=KM_SEED, max_iter=40,
+        id_col="vec_id", vec_col="embedding",
+    )
+    return ivf_topk(
+        emb,
+        res.centroids,
+        k=ANN_K,
+        n_queries=ANN_QUERIES,
+        n_probe=IVF_PROBE,
+        assignments=res.assignments,
+    )
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -686,6 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
+        "ivf_topk": q_ivf_topk,
     }
 
 
@@ -903,14 +929,16 @@ sc0 AS MATERIALIZED (
 SELECT id, round(x, 6) AS x FROM st{BICG_ITERS}"""
 
 
-def _kmeans_sql() -> str:
+def _kmeans_ctes() -> str:
     """Unrolled kpp seeding + Lloyd rounds (mirrors
     algorithms/kmeans.py, reference kmeans.hpp:60-373). The kpp random
     draws are the same seeded ``kpp_draws`` literals the runtime
     consumes; the selection scan reproduces the reference quirk of
     scanning latest-centroid distances against the Σ-min-distances
     range. Assignment ties break to the smaller cluster index in both
-    engines (array_min struct order ↔ ORDER BY d, c)."""
+    engines (array_min struct order ↔ ORDER BY d, c). Returns the CTE
+    block chain ending at assignments a{T} / distances dd{T} /
+    centroids k{T} — shared by the kmeans and ivf_topk oracles."""
     from alp_spark.algorithms.kmeans import kpp_draws
 
     first, samples = kpp_draws(KM_N, KM_K, KM_SEED)
@@ -969,9 +997,52 @@ k{t} AS MATERIALIZED (
     FROM a{t} a JOIN pts p USING (id) GROUP BY a.c, p.pos
   ) nv ON nv.c = o.c AND nv.pos = o.pos
 )""")
-    joined = ",\n".join(blocks)
-    return f"""WITH {joined}
+    return ",\n".join(blocks)
+
+
+def _kmeans_sql() -> str:
+    return f"""WITH {_kmeans_ctes()}
 SELECT id, c AS cluster, round(d, 6) AS dist FROM a{KM_SQL_ROUNDS}"""
+
+
+def _ivf_sql() -> str:
+    """IVF probe + rerank over the kmeans fixpoint (mirrors
+    pipeline/similarity.ivf_topk): per query, the IVF_PROBE nearest
+    cells by the final per-(id, cell) distances dd{{T}} (ties ORDER BY
+    d, c ↔ Spark's struct array_sort); candidates are the a{{T}}
+    inverted lists of the probed cells; exact cosine rerank with the
+    same tiebreak as the ann_topk oracle."""
+    T = KM_SQL_ROUNDS
+    cos = (
+        "list_dot_product(q.v, n.v) / "
+        "(sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v)))"
+    )
+    return f"""WITH {_kmeans_ctes()},
+e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+probe AS MATERIALIZED (
+  SELECT id AS query_id, c FROM (
+    SELECT id, c, row_number() OVER (PARTITION BY id ORDER BY d, c) AS rn
+    FROM dd{T} WHERE id < {ANN_QUERIES}
+  ) WHERE rn <= {IVF_PROBE}
+),
+scored AS MATERIALIZED (
+  SELECT p.query_id, a.id AS neighbor_id, {cos} AS cos_raw
+  FROM probe p
+  JOIN a{T} a ON a.c = p.c AND a.id <> p.query_id
+  JOIN e q ON q.vec_id = p.query_id
+  JOIN e n ON n.vec_id = a.id
+),
+ranked AS (
+  SELECT query_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rank,
+         neighbor_id, round(cos_raw, 5) AS cos
+  FROM scored
+)
+SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos
+FROM ranked WHERE rank <= {ANN_K}"""
 
 
 def _sparse_nn_sql() -> str:
@@ -1387,6 +1458,7 @@ SELECT id, true AS reached FROM hop2""",
         "cg3": _cg3_sql(),
         "bicgstab": _bicgstab_sql(),
         "kmeans": _kmeans_sql(),
+        "ivf_topk": _ivf_sql(),
         "sparse_nn": _sparse_nn_sql(),
         "kcore": _kcore_sql(),
         "label_prop1": _label_prop_sql(1),

@@ -27,6 +27,8 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_dup_pairs,
     cosine_topk,
+    ivf_assign,
+    ivf_topk,
     lsh_ann_topk,
     srp_bucket,
     srp_candidate_pairs,

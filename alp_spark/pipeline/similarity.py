@@ -245,6 +245,123 @@ def srp_candidate_pairs(
     return bucket_pairs(keyed, "doc", "id_a", "id_b")
 
 
+def _centroid_structs(vec: Column, centroids: list[list[float]]) -> Column:
+    """Array of (dist, cluster) structs against literal centroids —
+    squared L2 as the same sequential per-dimension fold kmeans uses, so
+    cluster selection ties out bit-for-bit with kmeans assignments."""
+    from ..algorithms.kmeans import _sq_dist
+
+    v = F.transform(vec, lambda x: x.cast("double"))
+    return F.array(
+        *[
+            F.struct(
+                _sq_dist(v, c).alias("dist"),
+                F.lit(j).alias("cluster"),
+            )
+            for j, c in enumerate(centroids)
+        ]
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (the IVF "inverted
+    list" key): one scan with a literal-broadcast argmin — identical to
+    the kmeans assignment pass (kmeans.hpp:309-314), ties to the
+    smaller cluster index. Returns (id, cluster)."""
+    best = F.array_min(_centroid_structs(F.col(vec_col), centroids))
+    return emb.select(
+        F.col(id_col).alias("id"), best["cluster"].alias("cluster")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    centroids: list[list[float]],
+    k: int = 3,
+    n_queries: int = 10,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assignments: DataFrame | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: coarse-quantize the corpus into kmeans
+    cells, probe the ``n_probe`` nearest cells per query, exact-cosine
+    rerank inside the probed cells. The centroid-training twin of
+    :func:`lsh_ann_topk` — IVF adapts its cells to the data
+    distribution where SRP buckets are data-oblivious.
+
+    ``centroids`` come from :func:`alp_spark.algorithms.kmeans` (train
+    on a sample at scale — the reference's own kpp is single-node,
+    kmeans.hpp:158-161). ``assignments`` optionally reuses the (id,
+    cluster) table kmeans already computed; otherwise one assignment
+    scan runs here.
+
+    Scale shape: centroids are k·m literals baked into the plan (no
+    shuffle to distribute them); assignment is one embarrassingly
+    parallel scan; the probe is an equi-join on the cluster key, so
+    work is candidate-proportional — never a cross product. At 100 TB
+    use √N cells so each inverted list stays ~√N and the probe join
+    fans out to n_probe·√N candidates per query. Cell sizes follow the
+    data (unlike SRP's uniform keys): very lopsided clusterings can
+    skew the join — AQE skew-join splits oversized cells, and raising
+    k (more, smaller cells) is the structural fix.
+
+    Returns (query_id, rank, neighbor_id, cos) like cosine_topk.
+    """
+    if assignments is None:
+        assignments = ivf_assign(emb, centroids, id_col, vec_col)
+    cells = assignments.select(
+        F.col("id").alias("neighbor_id"), "cluster"
+    ).join(
+        emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        on="neighbor_id",
+    )
+    # n_probe nearest cells per query: sort the (dist, cluster) struct
+    # array (ascending dist, then cluster — the kmeans tiebreak) and
+    # keep the first n_probe; queries are Q ≪ N, so broadcast.
+    probes = F.slice(
+        F.array_sort(_centroid_structs(F.col(vec_col), centroids)),
+        1,
+        n_probe,
+    )
+    q = F.broadcast(
+        emb.where(F.col(id_col) < n_queries)
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("_qv"),
+            F.explode(probes).alias("_p"),
+        )
+        .select("query_id", "_qv", F.col("_p.cluster").alias("cluster"))
+    )
+    scored = (
+        q.join(cells, on="cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("_cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(
+            "query_id",
+            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id",
+            F.round("_cos", 5).alias("cos"),
+        )
+    )
+
+
 def lsh_ann_topk(
     emb: DataFrame,
     dim: int,

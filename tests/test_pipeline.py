@@ -285,3 +285,61 @@ def test_no_cross_product_in_scale_plans(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, q
         assert "BroadcastNestedLoopJoin" not in plan, q
+
+
+def test_ivf_full_probe_equals_brute_force(emb, spark):
+    # probing ALL cells makes IVF's candidate set the whole corpus, so
+    # results must equal brute-force cosine_topk row-for-row
+    from alp_spark.algorithms import kmeans
+    from alp_spark.pipeline import ivf_topk
+
+    vecs, df = emb
+    res = kmeans(
+        spark, df, k=2, seed=5, max_iter=20, id_col="vec_id", vec_col="embedding"
+    )
+    full = ivf_topk(
+        df, res.centroids, k=2, n_queries=3, n_probe=2, assignments=res.assignments
+    ).collect()
+    brute = cosine_topk(df, k=2, n_queries=3).collect()
+    assert sorted(map(tuple, full)) == sorted(map(tuple, brute))
+
+
+def test_ivf_partial_probe_stays_in_probed_cells(emb, spark):
+    # n_probe=1 probes exactly the query's own cell (its argmin
+    # assignment), so every neighbor must share the query's cluster —
+    # and the candidate join must be an equi-join, never a cross product
+    from alp_spark.algorithms import kmeans
+    from alp_spark.pipeline import ivf_topk
+
+    vecs, df = emb
+    res = kmeans(
+        spark, df, k=3, seed=5, max_iter=20, id_col="vec_id", vec_col="embedding"
+    )
+    out = ivf_topk(
+        df, res.centroids, k=2, n_queries=3, n_probe=1, assignments=res.assignments
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assign = {r["id"]: r["cluster"] for r in res.assignments.collect()}
+    rows = out.collect()
+    assert rows
+    by_q = {}
+    for r in rows:
+        assert assign[r["neighbor_id"]] == assign[r["query_id"]]
+        by_q.setdefault(r["query_id"], []).append(r["rank"])
+    for ranks in by_q.values():  # ranks contiguous from 1
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_assign_matches_kmeans_assignments(emb, spark):
+    from alp_spark.algorithms import kmeans
+    from alp_spark.pipeline import ivf_assign
+
+    vecs, df = emb
+    res = kmeans(
+        spark, df, k=3, seed=5, max_iter=20, id_col="vec_id", vec_col="embedding"
+    )
+    got = {r["id"]: r["cluster"] for r in ivf_assign(df, res.centroids).collect()}
+    want = {r["id"]: r["cluster"] for r in res.assignments.collect()}
+    assert got == want
