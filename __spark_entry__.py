@@ -636,6 +636,20 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SPY_M = 32  # spy summary grid: 32×32 blocks over the N_V-vertex adjacency
+
+
+def q_spy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-density spy plot of the driver adjacency matrix
+    (spy.hpp:195-226): nnz count per 32×32 summary cell, block index by
+    the reference's float64 divide-and-truncate."""
+    from alp_spark.algorithms import spy
+
+    return spy(_edges(spark, sf_dir), N_V, N_V, SPY_M, SPY_M).select(
+        "row_blk", "col_blk", F.col("count").alias("nnz")
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: kmeans-trained coarse quantizer (same KM_K /
     KM_SEED fixpoint the `kmeans` query pins), probe the IVF_PROBE
@@ -712,6 +726,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_dup_pairs": q_cosine_dup_pairs,
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_topk": q_ivf_topk,
+        "spy": q_spy,
     }
 
 
@@ -1459,6 +1474,11 @@ SELECT id, true AS reached FROM hop2""",
         "bicgstab": _bicgstab_sql(),
         "kmeans": _kmeans_sql(),
         "ivf_topk": _ivf_sql(),
+        "spy": f"""WITH {E_SQL}
+SELECT CAST(floor(src / {N_V / SPY_M!r}) AS BIGINT) AS row_blk,
+       CAST(floor(dst / {N_V / SPY_M!r}) AS BIGINT) AS col_blk,
+       count(*) AS nnz
+FROM edges GROUP BY 1, 2""",
         "sparse_nn": _sparse_nn_sql(),
         "kcore": _kcore_sql(),
         "label_prop1": _label_prop_sql(1),

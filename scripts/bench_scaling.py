@@ -97,7 +97,9 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--cores", type=int, required=True)
     ap.add_argument(
-        "--path", choices=["csr", "shuffle", "broadcast"], default="csr"
+        "--path",
+        choices=["csr", "segments", "shuffle", "broadcast"],
+        default="csr",
     )
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--n", type=int, default=DEFAULT_N)
@@ -147,6 +149,23 @@ def main() -> None:
             x = spmv_dense(spark, csr, x) * 0.85 + 0.15 / n
             laps.append(time.monotonic() - t0)
         wall = sum(laps)
+    elif args.path == "segments":
+        # executor-resident superstep loop (plans/csr_segloop): O(P)
+        # driver traffic per superstep — the no-driver-ceiling engine
+        from alp_spark.plans.csr_blocks import build_csr_blocks
+        from alp_spark.plans.csr_segloop import pagerank_csr_segments
+
+        t0 = time.monotonic()
+        csr = build_csr_blocks(spark, edges, n, n_partitions=args.cores * 2)
+        m = csr.n_edges
+        build_sec = time.monotonic() - t0
+        t0 = time.monotonic()
+        seg = pagerank_csr_segments(
+            spark, csr, edges, conv=0.0, max_iter=iters
+        )
+        wall = time.monotonic() - t0
+        laps = [wall / iters] * iters
+        assert seg.iterations == iters
     else:
         from alp_spark.algorithms.simple_pagerank import simple_pagerank
 

@@ -108,3 +108,43 @@ def test_kcore_shuffle_frontier_path(spark):
     from .oracles import kcore as kcore_oracle
     want = kcore_oracle(n, edges)
     assert [got[i] for i in range(n)] == list(want)
+
+
+def test_spy_matches_numpy(spark):
+    # block counts must reproduce the reference's float64
+    # divide-and-truncate cell mapping (spy.hpp:63-67/84-88)
+    import numpy as np
+
+    from alp_spark.algorithms import spy
+
+    rng = np.random.RandomState(9)
+    m = n = 50
+    edges = {(int(rng.randint(m)), int(rng.randint(n))) for _ in range(300)}
+    edges = [(a, b) for a, b in edges]
+    E = edges_df(spark, edges)
+    sm, sn = 7, 5
+    want = np.zeros((sm, sn), dtype=np.int64)
+    for i, j in edges:
+        want[int(float(i) / (m / sm)), int(float(j) / (n / sn))] += 1
+    got = np.zeros_like(want)
+    for r in spy(E, m, n, sm, sn).collect():
+        got[r["row_blk"], r["col_blk"]] = r["count"]
+    np.testing.assert_array_equal(got, want)
+    # normalize stores 1/count (spy.hpp:123-128)
+    for r in spy(E, m, n, sm, sn, normalize=True).collect():
+        assert r["val"] == 1.0 / want[r["row_blk"], r["col_blk"]]
+
+
+def test_spy_reference_edges(spark):
+    import pytest as _pytest
+
+    from alp_spark.algorithms import spy
+
+    E = edges_df(spark, [(0, 1), (1, 2), (0, 1)])
+    # ILLEGAL: summary larger than input (spy.hpp:215-216)
+    with _pytest.raises(ValueError):
+        spy(E, 3, 3, 4, 3)
+    # same-size shortcut: structural set, value 1, duplicates collapsed
+    rows = {(r["row_blk"], r["col_blk"]): r["count"]
+            for r in spy(E, 3, 3, 3, 3).collect()}
+    assert rows == {(0, 1): 1, (1, 2): 1}
