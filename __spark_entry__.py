@@ -638,6 +638,40 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPY_M = 32  # spy summary grid: 32×32 blocks over the N_V-vertex adjacency
 
+# HPCG fixture: 8×8×8 27-point stencil, one coarsening to 4×4×4, the
+# reference diag/non-diag values (tests/smoke/hpcg.cpp:48-52); 3 stripe
+# colors keep the per-iteration color sweep short (num_colors is a
+# build parameter — the smoke default 27 changes only the sweep length)
+HPCG_SIZES = (8, 8, 8)
+HPCG_COARSE = (4, 4, 4)
+HPCG_COLORS = 3
+HPCG_DIAG = 26.0
+HPCG_ITERS = 2  # pinned CG iterations (oracle-unrollable)
+
+
+def q_hpcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HPCG (hpcg.hpp:14-100 + multigrid_v_cycle.hpp + RBGS): 2 pinned
+    multigrid-preconditioned CG iterations on the reference smoke
+    system b = A·1 (tests/smoke/hpcg.cpp:221-228). Oracle: the stencil,
+    injection map, color sweeps, V-cycle, and CG algebra fully unrolled
+    as generated SQL."""
+    from alp_spark.algorithms.hpcg import build_hpcg_system, hpcg
+
+    system = build_hpcg_system(
+        spark, HPCG_SIZES, num_colors=HPCG_COLORS, max_levels=1
+    )
+    ones = spark.range(system.n).select("id", F.lit(1.0).alias("val"))
+    b = (
+        system.A.join(
+            ones.select(F.col("id").alias("col"), F.col("val").alias("_x")),
+            on="col",
+        )
+        .groupBy(F.col("row").alias("id"))
+        .agg(F.sum(F.col("val") * F.col("_x")).alias("val"))
+    )
+    res = hpcg(spark, system, b, max_iterations=HPCG_ITERS, tolerance=0.0)
+    return res.x.select("id", F.round("val", 6).alias("x"))
+
 
 def q_spy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block-density spy plot of the driver adjacency matrix
@@ -727,6 +761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_topk": q_ivf_topk,
         "spy": q_spy,
+        "hpcg": q_hpcg,
     }
 
 
@@ -1058,6 +1093,163 @@ ranked AS (
 )
 SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos
 FROM ranked WHERE rank <= {ANN_K}"""
+
+
+def _hpcg_sql() -> str:
+    """Fully unrolled HPCG (mirrors algorithms/hpcg.py): 27-point
+    stencil + injection map as generated CTEs, then HPCG_ITERS CG
+    iterations each applying the 2-level V-cycle — pre color sweep
+    (fwd+bwd over HPCG_COLORS stripes), restrict, coarsest sweep,
+    prolongate, post sweep — with the CG scalars as one-row CTEs."""
+    nx, ny, nz = HPCG_SIZES
+    n = nx * ny * nz
+    cnx, cny, cnz = HPCG_COARSE
+    nc = cnx * cny * cnz
+    C, d = HPCG_COLORS, HPCG_DIAG
+    blocks: list[str] = []
+    offs = ", ".join(
+        f"({dx}, {dy}, {dz})"
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    )
+
+    def stencil(name: str, sx: int, sy: int, sz: int) -> None:
+        N = sx * sy * sz
+        blocks.append(f"""{name} AS MATERIALIZED (
+  SELECT g.id AS row,
+         (g.cx + o.dx) + (g.cy + o.dy) * {sx} + (g.cz + o.dz) * {sx * sy} AS col,
+         CASE WHEN o.dx = 0 AND o.dy = 0 AND o.dz = 0
+              THEN {d!r} ELSE -1.0 END AS val
+  FROM (SELECT id, id % {sx} AS cx, (id // {sx}) % {sy} AS cy,
+               id // {sx * sy} AS cz FROM range({N}) t(id)) g
+  CROSS JOIN (VALUES {offs}) o(dx, dy, dz)
+  WHERE g.cx + o.dx BETWEEN 0 AND {sx - 1}
+    AND g.cy + o.dy BETWEEN 0 AND {sy - 1}
+    AND g.cz + o.dz BETWEEN 0 AND {sz - 1}
+)""")
+
+    stencil("A", nx, ny, nz)
+    stencil("Ac", cnx, cny, cnz)
+    step = nx // cnx
+    blocks.append(f"""cmap AS MATERIALIZED (
+  SELECT id AS cid,
+         (id % {cnx}) * {step}
+         + ((id // {cnx}) % {cny}) * {step} * {nx}
+         + (id // {cnx * cny}) * {step} * {nx * ny} AS fid
+  FROM range({nc}) t(id)
+)""")
+    blocks.append(
+        "b AS MATERIALIZED (SELECT row AS id, sum(val) AS val FROM A GROUP BY row)"
+    )
+    blocks.append(
+        f"vx0 AS MATERIALIZED (SELECT id, 0.0 AS val FROM range({n}) t(id))"
+    )
+    blocks.append("vr0 AS MATERIALIZED (SELECT id, val FROM b)")
+
+    k = [0]
+
+    def fresh(p: str) -> str:
+        k[0] += 1
+        return f"{p}{k[0]}"
+
+    def smooth_step(xin: str, r: str, Aname: str, color: int) -> str:
+        t, xo = fresh("t"), fresh("x")
+        blocks.append(f"""{t} AS MATERIALIZED (
+  SELECT a.row AS id, sum(a.val * x.val) AS val
+  FROM {Aname} a JOIN {xin} x ON a.col = x.id
+  WHERE a.row % {C} = {color} GROUP BY a.row
+)""")
+        blocks.append(f"""{xo} AS MATERIALIZED (
+  SELECT x.id,
+         CASE WHEN x.id % {C} = {color}
+              THEN (r.val - coalesce(t.val, 0) + x.val * {d!r}) / {d!r}
+              ELSE x.val END AS val
+  FROM {xin} x JOIN {r} r ON r.id = x.id LEFT JOIN {t} t ON t.id = x.id
+)""")
+        return xo
+
+    def smoother_round(xin: str, r: str, Aname: str) -> str:
+        for c in list(range(C)) + list(range(C - 1, -1, -1)):
+            xin = smooth_step(xin, r, Aname, c)
+        return xin
+
+    def spmv(Aname: str, x: str) -> str:
+        y = fresh("y")
+        blocks.append(f"""{y} AS MATERIALIZED (
+  SELECT a.row AS id, sum(a.val * x.val) AS val
+  FROM {Aname} a JOIN {x} x ON a.col = x.id GROUP BY a.row
+)""")
+        return y
+
+    def mg(r: str) -> str:
+        z = fresh("z")
+        blocks.append(
+            f"{z} AS MATERIALIZED (SELECT id, 0.0 AS val FROM range({n}) t(id))"
+        )
+        z = smoother_round(z, r, "A")  # pre-smooth (1 round)
+        az = spmv("A", z)
+        rc = fresh("rc")
+        blocks.append(f"""{rc} AS MATERIALIZED (
+  SELECT m.cid AS id, r.val - coalesce(az.val, 0) AS val
+  FROM cmap m JOIN {r} r ON r.id = m.fid
+  LEFT JOIN {az} az ON az.id = m.fid
+)""")
+        zc = fresh("z")
+        blocks.append(
+            f"{zc} AS MATERIALIZED (SELECT id, 0.0 AS val FROM range({nc}) t(id))"
+        )
+        zc = smoother_round(zc, rc, "Ac")  # coarsest level: 1 round
+        zp = fresh("z")
+        blocks.append(f"""{zp} AS MATERIALIZED (
+  SELECT z.id, z.val + coalesce(c.cval, 0) AS val
+  FROM {z} z LEFT JOIN (
+    SELECT m.fid AS id, zc.val AS cval
+    FROM cmap m JOIN {zc} zc ON zc.id = m.cid
+  ) c ON c.id = z.id
+)""")
+        return smoother_round(zp, r, "A")  # post-smooth (1 round)
+
+    def dot(a: str, bb: str) -> str:
+        s = fresh("sc")
+        blocks.append(
+            f"{s} AS MATERIALIZED (SELECT sum(a.val * b.val) AS v "
+            f"FROM {a} a JOIN {bb} b ON a.id = b.id)"
+        )
+        return s
+
+    x, r, p = "vx0", "vr0", ""
+    rz_prev = ""
+    for it in range(HPCG_ITERS):
+        z = mg(r)
+        rz = dot(r, z)
+        if it == 0:
+            p = z
+        else:
+            pn = fresh("p")
+            blocks.append(f"""{pn} AS MATERIALIZED (
+  SELECT p.id, ({rz}.v / {rz_prev}.v) * p.val + z.val AS val
+  FROM {p} p JOIN {z} z ON z.id = p.id
+  CROSS JOIN {rz} CROSS JOIN {rz_prev}
+)""")
+            p = pn
+        ap = spmv("A", p)
+        pap = dot(ap, p)
+        xn = fresh("x")
+        blocks.append(f"""{xn} AS MATERIALIZED (
+  SELECT x.id, x.val + ({rz}.v / {pap}.v) * p.val AS val
+  FROM {x} x JOIN {p} p ON p.id = x.id CROSS JOIN {rz} CROSS JOIN {pap}
+)""")
+        rn = fresh("r")
+        blocks.append(f"""{rn} AS MATERIALIZED (
+  SELECT r.id, r.val - ({rz}.v / {pap}.v) * coalesce(ap.val, 0) AS val
+  FROM {r} r LEFT JOIN {ap} ap ON ap.id = r.id
+  CROSS JOIN {rz} CROSS JOIN {pap}
+)""")
+        x, r, rz_prev = xn, rn, rz
+    joined = ",\n".join(blocks)
+    return f"""WITH {joined}
+SELECT id, round(val, 6) AS x FROM {x}"""
 
 
 def _sparse_nn_sql() -> str:
@@ -1474,6 +1666,7 @@ SELECT id, true AS reached FROM hop2""",
         "bicgstab": _bicgstab_sql(),
         "kmeans": _kmeans_sql(),
         "ivf_topk": _ivf_sql(),
+        "hpcg": _hpcg_sql(),
         "spy": f"""WITH {E_SQL}
 SELECT CAST(floor(src / {N_V / SPY_M!r}) AS BIGINT) AS row_blk,
        CAST(floor(dst / {N_V / SPY_M!r}) AS BIGINT) AS col_blk,

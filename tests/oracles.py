@@ -408,3 +408,127 @@ def conjugate_gradient_complex(n, entries, b, tol=1e-5, max_iterations=1000):
         u = r + (beta / sigma) * u
         sigma = beta
     return x, iters, np.sqrt(residual), converged
+
+
+def hpcg_system_oracle(sizes, halo=1, diag=26.0, non_diag=-1.0):
+    """Dense stencil matrix per matrix_generator_iterator semantics:
+    clamped box neighborhood, dim 0 fastest."""
+    import itertools as _it
+
+    dims = len(sizes)
+    n = int(np.prod(sizes))
+    strides = [1] * dims
+    for d in range(1, dims):
+        strides[d] = strides[d - 1] * sizes[d - 1]
+
+    def coords(i):
+        return [(i // strides[d]) % sizes[d] for d in range(dims)]
+
+    A = np.zeros((n, n))
+    for i in range(n):
+        c = coords(i)
+        ranges = [
+            range(max(0, c[d] - halo), min(sizes[d] - 1, c[d] + halo) + 1)
+            for d in range(dims)
+        ]
+        for nb in _it.product(*ranges):
+            j = sum(nb[d] * strides[d] for d in range(dims))
+            A[i, j] = diag if j == i else non_diag
+    return A
+
+
+def hpcg_oracle(
+    sizes,
+    b,
+    halo=1,
+    diag=26.0,
+    non_diag=-1.0,
+    num_colors=3,
+    max_levels=1,
+    min_phys_size=4,
+    coarsening_step=2,
+    with_preconditioning=True,
+    pre=1,
+    post=1,
+    max_iterations=56,
+    tolerance=0.0,
+):
+    """NumPy transliteration of the reference HPCG stack (hpcg.hpp +
+    multigrid_v_cycle.hpp + red_black_gauss_seidel.hpp)."""
+    levels = []
+    cur = tuple(sizes)
+    levels.append((hpcg_system_oracle(cur, halo, diag, non_diag), cur))
+    lvl = 0
+    while min(cur) // coarsening_step >= min_phys_size and lvl < max_levels:
+        nxt = tuple(s // coarsening_step for s in cur)
+        levels.append((hpcg_system_oracle(nxt, halo, diag, non_diag), nxt))
+        cur = nxt
+        lvl += 1
+
+    def coarse_fid(coarse_sizes, fine_sizes):
+        dims = len(coarse_sizes)
+        cstr = [1] * dims
+        fstr = [1] * dims
+        for d in range(1, dims):
+            cstr[d] = cstr[d - 1] * coarse_sizes[d - 1]
+            fstr[d] = fstr[d - 1] * fine_sizes[d - 1]
+        steps = [f // c for c, f in zip(coarse_sizes, fine_sizes)]
+        nc = int(np.prod(coarse_sizes))
+        fid = np.zeros(nc, dtype=np.int64)
+        for ci in range(nc):
+            c = [(ci // cstr[d]) % coarse_sizes[d] for d in range(dims)]
+            fid[ci] = sum(c[d] * steps[d] * fstr[d] for d in range(dims))
+        return fid
+
+    def smoother_round(A, x, r):
+        n = len(x)
+        for c in list(range(num_colors)) + list(range(num_colors - 1, -1, -1)):
+            mask = (np.arange(n) % num_colors) == c
+            t = A[mask] @ x
+            x = x.copy()
+            x[mask] = (r[mask] - t + x[mask] * diag) / diag
+        return x
+
+    def mg(li, r):
+        A, sz = levels[li]
+        z = np.zeros(len(r))
+        if li == len(levels) - 1:
+            return smoother_round(A, z, r)
+        for _ in range(pre):
+            z = smoother_round(A, z, r)
+        fid = coarse_fid(levels[li + 1][1], sz)
+        rc = (r - A @ z)[fid]
+        zc = mg(li + 1, rc)
+        z = z.copy()
+        z[fid] += zc
+        for _ in range(post):
+            z = smoother_round(A, z, r)
+        return z
+
+    A = levels[0][0]
+    b = np.asarray(b, dtype=float)
+    x = np.zeros(len(b))
+    r = b - A @ x
+    norm = float(np.sqrt(r @ r))
+    norm0 = norm
+    it = 0
+    r_dot_z, p = 0.0, None
+    while True:
+        z = mg(0, r) if with_preconditioning else r.copy()
+        if it == 0:
+            p = z
+            r_dot_z = float(r @ z)
+        else:
+            old = r_dot_z
+            r_dot_z = float(r @ z)
+            p = (r_dot_z / old) * p + z
+        Ap = A @ p
+        alpha = r_dot_z / float(Ap @ p)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        norm = float(np.sqrt(r @ r))
+        it += 1
+        rel = norm / norm0 if norm0 != 0.0 else float("nan")
+        if not (it < max_iterations and rel > tolerance):
+            break
+    return x, it, norm
