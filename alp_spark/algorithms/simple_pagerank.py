@@ -220,7 +220,8 @@ def simple_pagerank_csr(
         csr = build_csr_blocks(spark, edges, n, n_partitions=n_partitions)
         try:
             seg = pagerank_csr_segments(
-                spark, csr, edges, alpha=alpha, conv=conv, max_iter=max_iter
+                spark, csr, edges, alpha=alpha, conv=conv, max_iter=max_iter,
+                checkpointer=checkpointer, checkpoint_every=checkpoint_every,
             )
             ranks = seg.ranks.localCheckpoint(eager=True)  # outlives the files
         finally:

@@ -147,11 +147,28 @@ def pagerank_csr_segments(
     alpha: float = 0.85,
     conv: float = 1e-7,
     max_iter: int = 1000,
+    checkpointer=None,
+    checkpoint_every: int = 5,
+    init_ranks: DataFrame | None = None,
+    init_superstep: int = 0,
 ) -> SegPageRankResult:
     """PageRank over packed CSR chunks with O(P) driver traffic per
-    superstep (semantics of algorithms/simple_pagerank.py:231-245)."""
+    superstep (semantics of algorithms/simple_pagerank.py:231-245).
+
+    Checkpoint/resume (the north rule's mid-iteration restart, on the
+    no-driver-ceiling engine): every ``checkpoint_every`` supersteps the
+    current rank segments are assembled DISTRIBUTED (segment files →
+    parquet, never through the driver) and committed via
+    ``checkpointer.save`` with residual/dangling metrics; a later run
+    passes the loaded frame as ``init_ranks`` with its recorded
+    superstep as ``init_superstep`` and continues bit-for-bit —
+    ``max_iter`` is the ABSOLUTE superstep cap, so a resumed run stops
+    where the straight run would. Driver traffic stays O(P): the init
+    write and every checkpoint go executor→storage directly."""
     if not 0 < alpha < 1 or max_iter <= 0:
         raise ValueError("alpha must be in (0,1), max_iter > 0")
+    if init_superstep < 0 or (init_superstep > 0 and init_ranks is None):
+        raise ValueError("init_superstep needs init_ranks")
     n, cache_dir, layout = csr.n, csr.cache_dir, csr.layout
     if layout != "src":
         raise ValueError("segment loop needs layout='src' (plus ring)")
@@ -169,24 +186,54 @@ def pagerank_csr_segments(
         [(p, lo, w) for p, lo, w in ranges], "pid int, lo long, width int"
     ).repartition(min(n_pids, csr.n_partitions))
 
-    def init_segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                aux = np.load(_aux_path(cache_dir, row.pid))
-                pr0 = np.full(row.width, 1.0 / n)
-                np.save(_seg_path(cache_dir, "pr", 0, row.pid), pr0)
-                np.save(_seg_path(cache_dir, "x", 0, row.pid), pr0 * aux["inv"])
-            yield pd.DataFrame({"pid": pdf["pid"]})
+    start = init_superstep
+    if init_ranks is None:
+        def init_segs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    aux = np.load(_aux_path(cache_dir, row.pid))
+                    pr0 = np.full(row.width, 1.0 / n)
+                    np.save(_seg_path(cache_dir, "pr", start, row.pid), pr0)
+                    np.save(_seg_path(cache_dir, "x", start, row.pid), pr0 * aux["inv"])
+                yield pd.DataFrame({"pid": pdf["pid"]})
 
-    rng_df.mapInPandas(init_segs, schema="pid int").count()
+        rng_df.mapInPandas(init_segs, schema="pid int").count()
+        dangling = n_dangling / n  # Σ pr0[mask] with pr0 = 1/n
+    else:
+        # resume: route checkpointed rows to their range, write the
+        # pr/x segments executor-side, report per-pid dangling partials
+        def write_resume(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            pid = int(key[0])
+            lo = pid * width
+            w = min(width, n - lo)
+            aux = np.load(_aux_path(cache_dir, pid))
+            seg = np.zeros(w, dtype=np.float64)
+            seg[pdf[ID].to_numpy(dtype=np.int64) - lo] = pdf[VAL].to_numpy(
+                dtype=np.float64
+            )
+            np.save(_seg_path(cache_dir, "pr", start, pid), seg)
+            np.save(_seg_path(cache_dir, "x", start, pid), seg * aux["inv"])
+            return pd.DataFrame(
+                {"pid": [pid], "dangling": [float(seg[aux["mask"]].sum())]}
+            )
+
+        rstats = (
+            init_ranks.select(
+                (F.col(ID) / F.lit(width)).cast("int").alias("pid"), ID, VAL
+            )
+            .groupBy("pid")
+            .applyInPandas(write_resume, schema="pid int, dangling double")
+            .toPandas()
+            .sort_values("pid")
+        )
+        dangling = float(rstats["dangling"].sum())
 
     meta_df = spark.createDataFrame(csr.meta).repartition(csr.n_partitions)
     meta_df = meta_df.localCheckpoint(eager=True)  # reused every superstep
 
-    dangling = n_dangling / n  # Σ pr0[mask] with pr0 = 1/n
     iters, residual, residuals = 0, float("inf"), []
     while True:
-        it = iters
+        it = start + iters
         d = (alpha * dangling + 1.0 - alpha) / n
 
         def compute(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,37 +281,53 @@ def pagerank_csr_segments(
             .groupBy("pid")
             .applyInPandas(combine, schema="pid int, resid double, dangling double")
             .toPandas()
+            .sort_values("pid")  # deterministic ⊕ order across runs/resumes
         )  # P rows — the ONLY per-superstep driver traffic
         residual = float(stats["resid"].sum())
         dangling = float(stats["dangling"].sum())
         residuals.append(residual)
         iters += 1
+        if checkpointer is not None and (start + iters) % checkpoint_every == 0:
+            checkpointer.save(
+                _read_ranks_df(spark, rng_df, cache_dir, start + iters),
+                superstep=start + iters,
+                metrics={"residual": residual, "dangling": dangling},
+            )
         # retire superstep it-1 files (it's inputs may still be cached)
-        if it >= 1:
+        if it >= start + 1:
             for p, _, _ in ranges:
                 for tag in ("pr", "x"):
                     try:
                         os.unlink(_seg_path(cache_dir, tag, it - 1, p))
                     except OSError:
                         pass
-        if (conv != 0.0 and residual <= conv) or iters >= max_iter:
+        if (conv != 0.0 and residual <= conv) or start + iters >= max_iter:
             break
 
-    final_it = iters
+    final_it = start + iters
 
-    def read_ranks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                seg = np.load(_seg_path(cache_dir, "pr", final_it, row.pid))
-                yield pd.DataFrame(
-                    {ID: np.arange(row.lo, row.lo + row.width), VAL: seg}
-                )
-
-    ranks = rng_df.mapInPandas(read_ranks, schema=f"{ID} long, {VAL} double")
+    ranks = _read_ranks_df(spark, rng_df, cache_dir, final_it)
     return SegPageRankResult(
         ranks=ranks,
-        iterations=iters,
+        iterations=start + iters,
         residual=residual,
         residuals=residuals,
         driver_rows_per_step=n_pids,
     )
+
+
+def _read_ranks_df(
+    spark: SparkSession, rng_df: DataFrame, cache_dir: str, it: int
+) -> DataFrame:
+    """Assemble the superstep-``it`` rank vector distributed from the
+    per-range segment files — rows never pass through the driver."""
+
+    def read_ranks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                seg = np.load(_seg_path(cache_dir, "pr", it, row.pid))
+                yield pd.DataFrame(
+                    {ID: np.arange(row.lo, row.lo + row.width), VAL: seg}
+                )
+
+    return rng_df.mapInPandas(read_ranks, schema=f"{ID} long, {VAL} double")

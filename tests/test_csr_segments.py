@@ -65,3 +65,52 @@ def test_segment_loop_auto_switch(spark):
     res = simple_pagerank_csr(spark, E, n, conv=1e-7, max_driver_n=5)
     want, _, _ = oracle_pagerank(n, edges, alpha=0.85, conv=1e-7)
     np.testing.assert_allclose(_ranks_arr(res.ranks, n), want, rtol=1e-9, atol=1e-12)
+
+
+def test_segment_loop_checkpoint_resume_equivalence(spark, tmp_path):
+    """North-rule restartability on the O(P) engine: run 6 supersteps
+    straight; run 3 with a checkpoint, then resume from the persisted
+    snapshot for the remaining 3 — final ranks, iteration count, and
+    residual must match the straight run bit-for-bit."""
+    from alp_spark.checkpoint import ParquetCheckpointer
+
+    n, edges = g497_powerlaw()
+    E = edges_df(spark, edges)
+
+    csr = build_csr_blocks(spark, E, n, n_partitions=4)
+    try:
+        straight = pagerank_csr_segments(spark, csr, E, conv=0.0, max_iter=6)
+        a = _ranks_arr(straight.ranks.localCheckpoint(), n)
+
+        ck = ParquetCheckpointer(str(tmp_path / "ck"))
+        first = pagerank_csr_segments(
+            spark, csr, E, conv=0.0, max_iter=3,
+            checkpointer=ck, checkpoint_every=3,
+        )
+        assert first.iterations == 3
+        rec = ck.latest()
+        assert rec is not None and rec["superstep"] == 3
+        assert "residual" in rec["metrics"] and rec["partition_rows"]
+        loaded, rec2 = ck.load(spark)
+        assert rec2["superstep"] == 3
+        resumed = pagerank_csr_segments(
+            spark, csr, E, conv=0.0, max_iter=6,
+            init_ranks=loaded, init_superstep=3,
+        )
+        assert resumed.iterations == 6 == straight.iterations
+        b = _ranks_arr(resumed.ranks.localCheckpoint(), n)
+        np.testing.assert_array_equal(b, a)  # exact, not allclose
+        assert resumed.residual == straight.residual
+    finally:
+        csr.unpersist()
+
+
+def test_segment_loop_resume_rejects_bad_args(spark):
+    n, edges = g_dangling()
+    E = edges_df(spark, edges)
+    csr = build_csr_blocks(spark, E, n, n_partitions=2)
+    try:
+        with pytest.raises(ValueError):
+            pagerank_csr_segments(spark, csr, E, init_superstep=2)
+    finally:
+        csr.unpersist()
