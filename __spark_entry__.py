@@ -530,6 +530,15 @@ def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_stats(_tbl(spark, sf_dir, "documents"))
 
 
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish subword token estimate (class-run pre-tokenizer +
+    ceil(len/4) pieces) — the regex token-counting twin of the
+    whitespace token_stats."""
+    from alp_spark.pipeline import bpe_token_count
+
+    return bpe_token_count(_tbl(spark, sf_dir, "documents"))
+
+
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_score(_tbl(spark, sf_dir, "documents"))
 
@@ -747,6 +756,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": q_events_hourly,
         "events_hourly_stream": q_events_hourly_stream,
         "token_stats": q_token_stats,
+        "bpe_tokens": q_bpe_tokens,
         "quality_score": q_quality_score,
         "lang_id": q_lang_id,
         "fingerprint": q_fingerprint,
@@ -1682,6 +1692,13 @@ FROM events GROUP BY 1, 2""",
         "events_hourly": """SELECT event_type, date_trunc('hour', ts) AS hour,
        count(*) AS n_events, round(sum(value), 6) AS total_value
 FROM events GROUP BY 1, 2""",
+        "bpe_tokens": """SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'))::BIGINT
+         AS n_pretokens,
+       coalesce(list_sum(list_transform(
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+'),
+         t -> ceil(length(t) / 4.0)::BIGINT)), 0)::BIGINT AS n_pieces
+FROM documents""",
         "token_stats": f"""WITH {TOKS_SQL}
 SELECT doc_id,
        len(toks)::BIGINT AS n_tokens,

@@ -9,6 +9,7 @@ express the semantics.
 """
 
 from .text import (  # noqa: F401
+    bpe_token_count,
     doc_fingerprint,
     lang_id,
     quality_score,

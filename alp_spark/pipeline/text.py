@@ -135,3 +135,37 @@ def simhash_hamming(a: Column, b: Column, nbits: int = 32) -> Column:
     """Hamming distance between two '0'/'1' simhash strings."""
     pairs = F.arrays_zip(F.split(a, ""), F.split(b, ""))
     return F.size(F.filter(pairs, lambda p: p["0"] != p["1"]))
+
+
+#: BPE-ish pre-tokenizer: letter runs, digit runs, punctuation runs —
+#: deliberately lookahead-free so the Java-regex plan and the RE2/DuckDB
+#: oracle match byte-for-byte (GPT-2's pre-tokenizer needs lookahead,
+#: which RE2 lacks; class runs are the portable core of it)
+BPE_PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+"
+
+
+def bpe_token_count(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_pretokens, n_pieces): subword token estimate.
+
+    Pre-tokens come from :data:`BPE_PRETOKEN_RE`; each pre-token
+    contributes ``ceil(len/4)`` pieces (the ~4-chars-per-BPE-token
+    heuristic, ≥1 per pre-token). Pure Column plan — one
+    ``regexp_extract_all`` + one array fold per row, no shuffle.
+
+    Mirror SQL: ``coalesce(list_sum(list_transform(
+    regexp_extract_all(text, RE), t -> ceil(length(t) / 4.0)::BIGINT)),
+    0)``.
+    """
+    # lit() pattern, not an F.expr SQL literal — SQL string literals eat
+    # the \s backslash, silently turning the class into [^A-Za-z0-9s]
+    toks = F.regexp_extract_all(F.col("text"), F.lit(BPE_PRETOKEN_RE), F.lit(0))
+    pieces = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: acc + F.ceil(F.length(t) / 4.0).cast("long"),
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_pretokens"),
+        pieces.alias("n_pieces"),
+    )

@@ -343,3 +343,21 @@ def test_ivf_assign_matches_kmeans_assignments(emb, spark):
     got = {r["id"]: r["cluster"] for r in ivf_assign(df, res.centroids).collect()}
     want = {r["id"]: r["cluster"] for r in res.assignments.collect()}
     assert got == want
+
+
+def test_bpe_token_count_matches_python_re(docs):
+    import math
+    import re
+
+    from alp_spark.pipeline import bpe_token_count
+    from alp_spark.pipeline.text import BPE_PRETOKEN_RE
+
+    rows = {r["doc_id"]: r for r in bpe_token_count(docs).collect()}
+    src = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert rows.keys() == src.keys()
+    for did, text in src.items():
+        toks = re.findall(BPE_PRETOKEN_RE, text)
+        assert rows[did]["n_pretokens"] == len(toks)
+        assert rows[did]["n_pieces"] == sum(math.ceil(len(t) / 4) for t in toks)
+        if toks:
+            assert rows[did]["n_pieces"] >= rows[did]["n_pretokens"]
