@@ -155,6 +155,14 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
     The feature here is a 16-bin histogram of decoded intensities —
     real downstream-shaped math (vectorized numpy over the whole batch)
     on top of the stubbed decode.
+
+    Contract note (the one sanctioned per-row loop): the ``decoder(p)``
+    call iterates payloads within the Arrow batch because each payload
+    is a variable-length binary blob with its own codec framing —
+    there is no array-level vectorization for codec work, in Spark or
+    anywhere else. Everything after decode (the histogram math) is
+    batch-vectorized numpy, and the batch boundary itself stays
+    Arrow-transferred; this is not a row-at-a-time Python UDF.
     """
     decoder = _fake_decode if decode == "fake" else _real_decode
 

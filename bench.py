@@ -46,6 +46,8 @@ HEADLINE = [
     "cosine_dup_pairs",
     "token_stats",
     "events_hourly",
+    "spy",
+    "bpe_tokens",
 ]
 
 
@@ -99,6 +101,16 @@ def main() -> None:
         "reference Benchmarker outer-loop protocol, outer=10 per "
         "base/config.hpp:216-222, base/benchmark.hpp:64-71)",
     )
+    ap.add_argument(
+        "--warmup",
+        type=int,
+        default=int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1")),
+        help="untimed runs per query before the timed repeats. The "
+        "reference benchmarks inside one long-lived process where "
+        "codegen/JIT is already hot; Spark pays whole-stage-codegen "
+        "compilation on a query's FIRST run only, which otherwise "
+        "lands as a single outlier that dominates the std",
+    )
     args = ap.parse_args()
 
     sf_dir = args.sf_dir
@@ -128,6 +140,8 @@ def main() -> None:
     mins: dict[str, float] = {}
     for name in names:
         runs = []
+        for _ in range(max(args.warmup, 0)):
+            qmap[name](spark, sf_dir).count()
         for rep in range(max(args.repeats, 1)):
             t0 = time.monotonic()
             df = qmap[name](spark, sf_dir)
