@@ -647,6 +647,31 @@ def q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SPY_M = 32  # spy summary grid: 32×32 blocks over the N_V-vertex adjacency
 
+SSSP_SOURCE = 0
+# Bellman-Ford reaches its fixpoint in 4 rounds at sf0.01 (2 at
+# sf0.001); extra unrolled rounds are no-ops at the fixpoint, so 8
+# covers both fixtures with margin
+SSSP_ROUNDS = 8
+
+
+def _sssp_weight():
+    """Deterministic per-edge weight ((7·src + 13·dst) mod 10)/10 + 0.1
+    ∈ [0.1, 1.0] — identical arithmetic in Spark and the SQL oracle."""
+    return ((F.col(SRC) * 7 + F.col(DST) * 13) % 10) / 10.0 + 0.1
+
+
+def q_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths: the reference's min-plus semiring
+    example (examples/sp.cpp:104-107) run to the Bellman-Ford fixpoint
+    over deterministically weighted driver edges. Sparse output —
+    unreachable vertices are structurally absent. Oracle: SSSP_ROUNDS
+    unrolled relax rounds (no-ops past the fixpoint)."""
+    from alp_spark.algorithms.sssp import sssp
+
+    e = _edges(spark, sf_dir).select(SRC, DST, _sssp_weight().alias(VAL))
+    res = sssp(spark, e, N_V, SSSP_SOURCE)
+    return res.dists.select(ID, F.round(VAL, 6).alias("dist"))
+
 # HPCG fixture: 8×8×8 27-point stencil, one coarsening to 4×4×4, the
 # reference diag/non-diag values (tests/smoke/hpcg.cpp:48-52); 3 stripe
 # colors keep the per-iteration color sweep short (num_colors is a
@@ -772,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "spy": q_spy,
         "hpcg": q_hpcg,
+        "sssp": q_sssp,
     }
 
 
@@ -1262,6 +1288,28 @@ def _hpcg_sql() -> str:
 SELECT id, round(val, 6) AS x FROM {x}"""
 
 
+def _sssp_sql() -> str:
+    """Unrolled Bellman-Ford relax rounds (mirrors algorithms/sssp.py:
+    each round min-merges the previous distances with one-hop
+    relaxations; identical single-add + min arithmetic)."""
+    blocks = [f"""w AS MATERIALIZED (
+  SELECT src, dst, ((src * 7 + dst * 13) % 10) / 10.0 + 0.1 AS w FROM edges
+)""", f"d0 AS (SELECT {SSSP_SOURCE} AS id, 0.0 AS val)"]
+    for k in range(1, SSSP_ROUNDS + 1):
+        blocks.append(f"""d{k} AS MATERIALIZED (
+  SELECT id, min(val) AS val FROM (
+    SELECT id, val FROM d{k - 1}
+    UNION ALL
+    SELECT e.dst AS id, d.val + e.w AS val
+    FROM d{k - 1} d JOIN w e ON e.src = d.id
+  ) GROUP BY id
+)""")
+    joined = ",\n".join(blocks)
+    return f"""WITH {E_SQL},
+{joined}
+SELECT id, round(val, 6) AS dist FROM d{SSSP_ROUNDS}"""
+
+
 def _sparse_nn_sql() -> str:
     """Unrolled thresholded sparse-NN inference (mirrors
     algorithms/sparse_nn.py / sparse_nn_single_inference.hpp:131-171):
@@ -1677,6 +1725,7 @@ SELECT id, true AS reached FROM hop2""",
         "kmeans": _kmeans_sql(),
         "ivf_topk": _ivf_sql(),
         "hpcg": _hpcg_sql(),
+        "sssp": _sssp_sql(),
         "spy": f"""WITH {E_SQL}
 SELECT CAST(floor(src / {N_V / SPY_M!r}) AS BIGINT) AS row_blk,
        CAST(floor(dst / {N_V / SPY_M!r}) AS BIGINT) AS col_blk,

@@ -11,4 +11,5 @@ from .simple_pagerank import simple_pagerank  # noqa: F401
 from .solvers import bicgstab, conjugate_gradient  # noqa: F401
 from .sparse_nn import sparse_nn_single_inference  # noqa: F401
 from .spy import spy  # noqa: F401
+from .sssp import sssp  # noqa: F401
 from .triangles import triangle_count  # noqa: F401

@@ -532,3 +532,22 @@ def hpcg_oracle(
         if not (it < max_iterations and rel > tolerance):
             break
     return x, it, norm
+
+
+def sssp_oracle(n, entries, source):
+    """Bellman-Ford min-plus fixpoint: returns (dist array with np.inf
+    for unreachable, rounds-to-fixpoint-detection)."""
+    INF = float("inf")
+    dist = np.full(n, INF)
+    dist[source] = 0.0
+    rounds = 0
+    while True:
+        nd = dist.copy()
+        for s, d, w in entries:
+            if dist[s] + w < nd[d]:
+                nd[d] = dist[s] + w
+        rounds += 1
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    return dist, rounds

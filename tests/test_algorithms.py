@@ -148,3 +148,43 @@ def test_spy_reference_edges(spark):
     rows = {(r["row_blk"], r["col_blk"]): r["count"]
             for r in spy(E, 3, 3, 3, 3).collect()}
     assert rows == {(0, 1): 1, (1, 2): 1}
+
+
+def test_sssp_matches_bellman_ford(spark):
+    import numpy as np
+
+    from alp_spark.algorithms.sssp import sssp
+
+    rng = np.random.RandomState(5)
+    n = 40
+    entries = [
+        (int(rng.randint(n)), int(rng.randint(n)), round(float(rng.uniform(0.1, 2.0)), 3))
+        for _ in range(160)
+    ]
+    entries = [(s, d, w) for s, d, w in entries if s != d]
+    E = edges_df(spark, entries, val=True)
+    res = sssp(spark, E, n, source=0)
+    from .oracles import sssp_oracle
+
+    want, want_rounds = sssp_oracle(n, entries, 0)
+    got = {r["id"]: r["val"] for r in res.dists.collect()}
+    assert res.converged
+    assert res.rounds == want_rounds
+    for i in range(n):
+        if np.isinf(want[i]):
+            assert i not in got  # unreachable stays structurally absent
+        else:
+            assert abs(got[i] - want[i]) < 1e-12
+
+
+def test_sssp_pattern_and_illegal(spark):
+    import pytest as _pytest
+
+    from alp_spark.algorithms.sssp import sssp
+
+    E = edges_df(spark, [(0, 1), (1, 2)])
+    res = sssp(spark, E, 3, source=0)
+    got = {r["id"]: r["val"] for r in res.dists.collect()}
+    assert got == {0: 0.0, 1: 0.0, 2: 0.0}  # pattern edges cost ring one
+    with _pytest.raises(ValueError):
+        sssp(spark, E, 3, source=5)
