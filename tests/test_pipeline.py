@@ -280,7 +280,8 @@ def test_no_cross_product_in_scale_plans(spark):
     import __spark_entry__ as entrymod
 
     sf_dir = "/root/testdata/sf0.001"
-    for q in ("cosine_dup_pairs", "ngram_jaccard", "lsh_ann_topk"):
+    for q in ("cosine_dup_pairs", "ngram_jaccard", "lsh_ann_topk",
+              "spy", "bpe_tokens", "sssp"):
         df = entrymod.queries()[q](spark, sf_dir)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "CartesianProduct" not in plan, q
