@@ -718,6 +718,21 @@ def q_spy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization (the 4× storage path for a
+    100 TB float32 embedding column), flattened to scalar rows for the
+    oracle compare. Half-up floor rounding — portable across engines."""
+    from alp_spark.pipeline import quantize_embeddings
+
+    q = quantize_embeddings(_tbl(spark, sf_dir, "embeddings"))
+    return q.select(
+        "id", F.round("scale", 6).alias("scale"), F.posexplode("qvec")
+    ).select(
+        "id", "scale", F.col("pos").cast("long").alias("pos"),
+        F.col("col").cast("long").alias("code"),
+    )
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate NN: kmeans-trained coarse quantizer (same KM_K /
     KM_SEED fixpoint the `kmeans` query pins), probe the IVF_PROBE
@@ -798,6 +813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "spy": q_spy,
         "hpcg": q_hpcg,
         "sssp": q_sssp,
+        "quantize": q_quantize,
     }
 
 
@@ -1726,6 +1742,19 @@ SELECT id, true AS reached FROM hop2""",
         "ivf_topk": _ivf_sql(),
         "hpcg": _hpcg_sql(),
         "sssp": _sssp_sql(),
+        "quantize": f"""WITH e AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+),
+s AS (
+  SELECT id, v,
+         list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+  FROM e
+)
+SELECT id, round(scale, 6) AS scale, t.p::BIGINT - 1 AS pos,
+       CASE WHEN scale = 0 THEN 0
+            ELSE greatest(-127, least(127,
+                 floor(v[t.p::INT] / scale + 0.5)))::BIGINT END AS code
+FROM s CROSS JOIN range(1, {EMB_DIM + 1}) t(p)""",
         "spy": f"""WITH {E_SQL}
 SELECT CAST(floor(src / {N_V / SPY_M!r}) AS BIGINT) AS row_blk,
        CAST(floor(dst / {N_V / SPY_M!r}) AS BIGINT) AS col_blk,

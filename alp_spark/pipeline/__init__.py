@@ -28,9 +28,11 @@ from .dedup import (  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_dup_pairs,
     cosine_topk,
+    dequantize_embeddings,
     ivf_assign,
     ivf_topk,
     lsh_ann_topk,
+    quantize_embeddings,
     srp_bucket,
     srp_candidate_pairs,
     srp_planes,

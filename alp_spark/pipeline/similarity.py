@@ -406,3 +406,50 @@ def lsh_ann_topk(
             F.round("_cos", 5).alias("cos"),
         )
     )
+
+
+def quantize_embeddings(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 quantization for embedding storage: per-vector
+    scale = max|v| / 127, codes = floor(v/scale + 0.5) clamped to
+    [-127, 127] (explicit half-up floor — portable across engines,
+    unlike round()'s half-even). The 4× storage cut is what makes a
+    100 TB float32 embedding column a 25 TB int8 one; cosine on
+    dequantized codes stays within ~1e-2 of exact. All-zero vectors
+    get scale 0 and all-zero codes.
+
+    Pure Column plan — two array folds + one transform per row, no
+    shuffle. Returns (id, scale, qvec array<int>). Mirror SQL uses the
+    same floor(x + 0.5) form.
+    """
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(v, F.abs))
+    scale = (amax / F.lit(127.0)).alias("scale")
+    code = F.when(
+        amax == 0.0, F.transform(v, lambda x: F.lit(0).cast("int"))
+    ).otherwise(
+        F.transform(
+            v,
+            lambda x: F.greatest(
+                F.lit(-127),
+                F.least(
+                    F.lit(127),
+                    F.floor(x / (amax / F.lit(127.0)) + F.lit(0.5)).cast("int"),
+                ),
+            ).cast("int"),
+        )
+    )
+    return emb.select(F.col(id_col).alias("id"), scale, code.alias("qvec"))
+
+
+def dequantize_embeddings(q: DataFrame) -> DataFrame:
+    """(id, scale, qvec) → (id, vec array<double>): codes × scale."""
+    return q.select(
+        "id",
+        F.transform(
+            F.col("qvec"), lambda x: x.cast("double") * F.col("scale")
+        ).alias("vec"),
+    )

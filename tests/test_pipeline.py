@@ -362,3 +362,28 @@ def test_bpe_token_count_matches_python_re(docs):
         assert rows[did]["n_pieces"] == sum(math.ceil(len(t) / 4) for t in toks)
         if toks:
             assert rows[did]["n_pieces"] >= rows[did]["n_pretokens"]
+
+
+def test_quantize_roundtrip_and_edge_cases(emb, spark):
+    import numpy as np
+
+    from alp_spark.pipeline import dequantize_embeddings, quantize_embeddings
+
+    vecs, df = emb
+    zero_row = spark.createDataFrame(
+        [(99, [0.0] * 8)], "vec_id long, embedding array<float>"
+    )
+    q = quantize_embeddings(df.unionByName(zero_row))
+    rows = {r["id"]: r for r in q.collect()}
+    # codes bounded, scale = amax/127, zero vector -> scale 0 + zero codes
+    assert rows[99]["scale"] == 0.0 and all(c == 0 for c in rows[99]["qvec"])
+    for vid, v in vecs:
+        r = rows[vid]
+        assert abs(r["scale"] - np.abs(v).max() / 127.0) < 1e-12
+        assert all(-127 <= c <= 127 for c in r["qvec"])
+        want = np.floor(v / r["scale"] + 0.5).clip(-127, 127).astype(int)
+        assert list(r["qvec"]) == list(want)
+    # dequantize: max abs error bounded by scale/2 per element
+    d = {r["id"]: np.array(r["vec"]) for r in dequantize_embeddings(q).collect()}
+    for vid, v in vecs:
+        assert np.max(np.abs(d[vid] - v)) <= rows[vid]["scale"] / 2 + 1e-12
