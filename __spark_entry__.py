@@ -718,6 +718,18 @@ def q_spy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP_MIN = 30
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based per-user sessionization of the events table (30-minute
+    gap): one window pass + one rollup, microsecond integer gap
+    arithmetic so the oracle agrees exactly."""
+    from alp_spark.pipeline import sessionize
+
+    return sessionize(_tbl(spark, sf_dir, "events"), gap_minutes=SESSION_GAP_MIN)
+
+
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (the 4× storage path for a
     100 TB float32 embedding column), flattened to scalar rows for the
@@ -814,6 +826,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hpcg": q_hpcg,
         "sssp": q_sssp,
         "quantize": q_quantize,
+        "sessionize": q_sessionize,
     }
 
 
@@ -1742,6 +1755,27 @@ SELECT id, true AS reached FROM hop2""",
         "ivf_topk": _ivf_sql(),
         "hpcg": _hpcg_sql(),
         "sssp": _sssp_sql(),
+        "sessionize": f"""WITH o AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR us - prev > {SESSION_GAP_MIN * 60 * 1_000_000}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM f
+)
+SELECT user_id, session_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_id""",
         "quantize": f"""WITH e AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ),

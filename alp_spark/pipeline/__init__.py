@@ -25,6 +25,7 @@ from .dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     shingles_col,
 )
+from .sessions import sessionize, streaming_sessionize  # noqa: F401
 from .similarity import (  # noqa: F401
     cosine_dup_pairs,
     cosine_topk,

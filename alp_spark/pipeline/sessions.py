@@ -1,0 +1,135 @@
+"""Gap-based sessionization of an event stream — batch and streaming.
+
+The canonical stateful event-pipeline operator: events of one user
+belong to the same session while consecutive gaps stay ≤ ``gap``
+(microsecond integer arithmetic end-to-end, so engines agree exactly).
+
+Batch form: one window pass per user ordered by time — lag to flag
+session starts, a running sum to number sessions, one groupBy for the
+rollup. Scale shape: a single shuffle on user_id (the window and the
+rollup share it), skew bounded by the busiest user's event count.
+
+Streaming form: ``applyInPandasWithState`` keyed by user_id carrying
+(session start, last ts, count, value sum) — emits a session when the
+watermark-driven processing-time timeout fires or a gap-exceeding
+event arrives. The batch twin is the oracle: on fully-arrived data the
+streaming operator must emit identical sessions (pytest-asserted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+SESSION_SCHEMA = (
+    "user_id long, session_id long, session_start timestamp, "
+    "session_end timestamp, n_events long, total_value double"
+)
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """(user_id, session_id, session_start, session_end, n_events,
+    total_value): maximal runs of one user's events with inter-event
+    gaps ≤ ``gap_minutes``. session_id numbers a user's sessions from
+    1 in time order."""
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # events carry TIMESTAMP_NTZ; the session runs in UTC
+    # (alp_spark.session), so the cast to TIMESTAMP is offset-free and
+    # unix_micros agrees with DuckDB's epoch_us on the naive value
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    is_new = F.when(
+        prev.isNull() | ((us - prev) > gap_us), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = F.sum(is_new).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        events.select("user_id", "event_id", "ts", "value")
+        .withColumn("session_id", sess.cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 6).alias("total_value"),
+        )
+    )
+
+
+def streaming_sessionize(
+    events: DataFrame, gap_minutes: int = 30,
+    timeout_minutes: int | None = None,
+):
+    """Streaming twin over a streaming DataFrame: per-user state folds
+    events into the open session; a gap-exceeding event closes and
+    emits the previous session. With ``timeout_minutes`` set, a
+    processing-time timer additionally flushes idle users' open
+    sessions — use that on a continuously-running production query.
+    Default is NO timer: open sessions wait for their closing event,
+    which is also what lets a drain-style run (Trigger.AvailableNow)
+    terminate — a pending processing-time timer keeps an availableNow
+    query alive until the timer fires. Emitted (closed) sessions match
+    :func:`sessionize` on fully-arrived, per-user-ordered data."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = int(gap_minutes) * 60 * 1_000_000
+
+    def fold(key_tuple, pdfs, state: GroupState):
+        user_id = key_tuple[0]
+        out = []
+        if state.hasTimedOut:
+            if state.exists:
+                st, en, cnt, tot, sid = state.get
+                out.append((user_id, sid, st, en, cnt, round(tot, 6)))
+                state.remove()
+        else:
+            rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+            if state.exists:
+                st, en, cnt, tot, sid = state.get
+            else:
+                st = en = None
+                cnt, tot, sid = 0, 0.0, 0
+            for r in rows.itertuples(index=False):
+                t = int(pd.Timestamp(r.ts).value // 1000)  # epoch micros
+                if st is None:
+                    st, en, cnt, tot, sid = t, t, 1, float(r.value), sid + 1
+                elif t - en > gap_us:
+                    out.append((user_id, sid, st, en, cnt, round(tot, 6)))
+                    st, en, cnt, tot, sid = t, t, 1, float(r.value), sid + 1
+                else:
+                    en, cnt, tot = t, cnt + 1, tot + float(r.value)
+            state.update((st, en, cnt, tot, sid))
+            if timeout_minutes is not None:
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        ts = lambda us_: pd.Timestamp(us_ * 1000)  # noqa: E731
+        yield pd.DataFrame(
+            [
+                (u, s, ts(a), ts(b), c, v)
+                for u, s, a, b, c, v in out
+            ],
+            columns=[
+                "user_id", "session_id", "session_start",
+                "session_end", "n_events", "total_value",
+            ],
+        )
+
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=(
+                "st long, en long, cnt long, tot double, sid long"
+            ),
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )

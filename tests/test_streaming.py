@@ -119,3 +119,82 @@ def test_stateful_running_totals_across_microbatches(spark, events_dir):
     # and the stream really split into >1 batch: some key was emitted twice
     per_key = out.groupBy("event_type").count().collect()
     assert max(r["count"] for r in per_key) > 1
+
+
+def test_sessionize_batch_matches_python(spark):
+    import datetime as dt
+
+    from alp_spark.pipeline import sessionize
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        # user 1: two sessions (31-minute gap between events 2 and 3)
+        (0, m(0), 1, 1.0), (1, m(10), 1, 2.0), (2, m(20), 1, 3.0),
+        (3, m(51), 1, 4.0), (4, m(60), 1, 5.0),
+        # user 2: one session, events exactly gap-distance apart (30min
+        # gap is NOT a boundary: boundary needs gap > 30min)
+        (5, m(0), 2, 1.5), (6, m(30), 2, 2.5), (7, m(60), 2, 3.5),
+        # user 3: single event
+        (8, m(5), 3, 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, value double"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"], r["total_value"]
+        )
+        for r in sessionize(df, gap_minutes=30).collect()
+    }
+    assert got == {
+        (1, 1): (m(0), m(20), 3, 6.0),
+        (1, 2): (m(51), m(60), 2, 9.0),
+        (2, 1): (m(0), m(60), 3, 7.5),
+        (3, 1): (m(5), m(5), 1, 9.0),
+    }
+
+
+def test_streaming_sessionize_closed_sessions_match_batch(spark, tmp_path):
+    import datetime as dt
+
+    from alp_spark.pipeline import sessionize, streaming_sessionize
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+    rows = [
+        (0, m(0), 1, 1.0), (1, m(10), 1, 2.0),
+        (2, m(55), 1, 3.0),  # closes session 1 of user 1
+        (3, m(120), 1, 4.0),  # closes session 2
+        (4, m(0), 2, 1.5), (5, m(45), 2, 2.5),  # closes session 1 of user 2
+    ]
+    schema = "event_id long, ts timestamp_ntz, user_id long, value double"
+    df = spark.createDataFrame(rows, schema)
+    path = str(tmp_path / "sess_events")
+    # two files split mid-stream: state must carry open sessions across
+    # micro-batches
+    df.where("event_id < 3").coalesce(1).write.mode("append").parquet(path)
+    df.where("event_id >= 3").coalesce(1).write.mode("append").parquet(path)
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = run_to_memory(
+        streaming_sessionize(stream, gap_minutes=30), spark, "sess_t"
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    batch = sessionize(df, gap_minutes=30)
+    # streaming emits a session only when a later event closes it; each
+    # user's LAST batch session stays open in state
+    w_last = {
+        (r["user_id"], r["session_id"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    last = {u: max(s for (uu, s) in w_last if uu == u) for u, _ in w_last}
+    want = {k: v for k, v in w_last.items() if k[1] != last[k[0]]}
+    assert got == want
+    assert got  # at least one closed session was actually emitted
