@@ -211,6 +211,24 @@ def q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select(ID, F.round(VAL, 6).alias("rank"))
 
 
+PPR_SEEDS = [(0, 0.6), (7, 0.4)]  # personalization distribution
+
+
+def q_ppr5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank: same 5 pinned power iterations as
+    pagerank5 but teleport + dangling mass land on the seed
+    distribution PPR_SEEDS (∝ val) and iteration starts from it —
+    topic-sensitive link analysis over the identical engine loop."""
+    from alp_spark.containers import vector_schema
+
+    tele = spark.createDataFrame(PPR_SEEDS, vector_schema("double"))
+    res = simple_pagerank(
+        spark, _edges(spark, sf_dir), N_V, alpha=0.85, conv=0.0,
+        max_iter=PR_ITERS, teleport=tele,
+    )
+    return res.ranks.select(ID, F.round(VAL, 6).alias("rank"))
+
+
 def q_pagerank5_csr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same PageRank semantics on the CSR-block physical path
     (plans/csr_blocks.py — the north star's applyInPandas gather-scatter
@@ -786,6 +804,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degrees_intersection": q_degrees_intersection,
         "dot_degrees": q_dot_degrees,
         "pagerank5": q_pagerank5,
+        "ppr5": q_ppr5,
         "pagerank5_csr": q_pagerank5_csr,
         "top_rank_vertex": q_top_rank_vertex,
         "fma_degrees": q_fma_degrees,
@@ -857,6 +876,39 @@ def _pagerank5_sql() -> str:
 outdeg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
 v AS (SELECT id FROM range({n}) t(id)),
 p0 AS (SELECT id, 1.0 / {n} AS rank FROM v),
+{joined}
+SELECT id, round(rank, 6) AS rank FROM {prev}"""
+
+
+def _ppr5_sql() -> str:
+    """Unrolled personalized PageRank (mirrors simple_pagerank with
+    teleport): p0 = v; per round the dangling+teleport scalar mass
+    multiplies the per-vertex teleport value instead of dividing by n."""
+    n, a = N_V, 0.85
+    tele_case = "CASE " + " ".join(
+        f"WHEN v.id = {i} THEN {w!r}" for i, w in PPR_SEEDS
+    ) + " ELSE 0.0 END"
+    steps = []
+    prev = "p0"
+    for k in range(1, PR_ITERS + 1):
+        steps.append(f"""p{k} AS (
+  SELECT v.id,
+         coalesce(s.contrib, 0)
+         + ({a} * (SELECT coalesce(sum(p.rank), 0) FROM {prev} p
+                   LEFT JOIN outdeg o ON p.id = o.src WHERE o.src IS NULL)
+            + {1 - a}) * ({tele_case}) AS rank
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank * ({a} / o.d)) AS contrib
+    FROM {prev} p JOIN outdeg o ON p.id = o.src JOIN edges e ON e.src = p.id
+    GROUP BY e.dst
+  ) s ON v.id = s.id
+)""")
+        prev = f"p{k}"
+    joined = ",\n".join(steps)
+    return f"""WITH {E_SQL},
+outdeg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+v AS (SELECT id FROM range({n}) t(id)),
+p0 AS (SELECT id, {tele_case.replace("v.id", "id")} AS rank FROM v),
 {joined}
 SELECT id, round(rank, 6) AS rank FROM {prev}"""
 
@@ -1691,6 +1743,7 @@ o AS (SELECT src AS id, count(*) AS v FROM edges GROUP BY src),
 i AS (SELECT dst AS id, count(*) AS v FROM edges GROUP BY dst)
 SELECT sum(o.v * i.v)::DOUBLE AS dot_val FROM o JOIN i ON o.id = i.id""",
         "pagerank5": _pagerank5_sql(),
+        "ppr5": _ppr5_sql(),
         "pagerank5_csr": _pagerank5_sql(),
         "out_degree_salted": f"""WITH {E_SQL}
 SELECT src AS id, count(*) AS degree FROM edges GROUP BY src""",

@@ -69,9 +69,18 @@ def simple_pagerank(
     start_iteration: int = 0,
     strategy: str = "auto",
     dense_broadcast_nnz: int = DENSE_BROADCAST_NNZ,
+    teleport: DataFrame | None = None,
 ) -> PageRankResult:
     """Run PageRank to convergence; defaults mirror the reference
     (α=0.85, conv=1e-7, max=1000 — simple_pagerank.hpp:140-142).
+
+    ``teleport``: optional personalization vector (id, val), val ≥ 0
+    summing to 1 — the teleport + dangling mass lands on these vertices
+    ∝ val instead of uniformly (personalized PageRank). Vertices absent
+    from the frame get teleport 0; iteration starts from the teleport
+    distribution. ``teleport=None`` keeps the reference-uniform path
+    bit-for-bit (the uniform case divides by n rather than multiplying
+    by a 1/n teleport value, so existing oracles are unaffected).
 
     ``strategy``: vxm join strategy per iteration. 'auto' broadcasts the
     (always dense) rank vector when it fits executor memory
@@ -109,7 +118,24 @@ def simple_pagerank(
     if n <= BROADCAST_NNZ_THRESHOLD:
         inv_small = F.broadcast(inv)
 
-    pr = initial if initial is not None else set_dense(spark, n, 1.0 / n)
+    tele = None
+    if teleport is not None:
+        # densify to all n rows (non-seed vertices still RECEIVE link
+        # mass, so the iterate must stay dense) and pin the plan
+        tele = (
+            set_dense(spark, n, 0.0)
+            .join(teleport.select(ID, F.col(VAL).alias("_t")), on=ID, how="left")
+            .select(ID, F.coalesce(F.col("_t"), F.lit(0.0)).alias("_tele"))
+            .persist()
+        )
+        tele.count()
+
+    if initial is not None:
+        pr = initial
+    elif tele is not None:
+        pr = tele.select(ID, F.col("_tele").alias(VAL))  # pr0 = v
+    else:
+        pr = set_dense(spark, n, 1.0 / n)
     pr = pr.localCheckpoint(eager=True)
 
     # initial dangling mass: Σ pr over ids absent from inv
@@ -122,22 +148,29 @@ def simple_pagerank(
     residual = float("inf")
     residuals: list[float] = []
     while True:
-        d = (alpha * dangling + 1.0 - alpha) / n
+        if tele is None:
+            add = F.lit((alpha * dangling + 1.0 - alpha) / n)
+        else:
+            # personalized: the same scalar mass lands ∝ teleport value
+            add = F.lit(alpha * dangling + 1.0 - alpha) * F.col("_tele")
 
         # scaled = pr ⊗ inv (intersection); new = scaled·L (sparse);
-        # next = coalesce(new, 0) + d, carried with old value for the fused agg
+        # next = coalesce(new, 0) + teleport share, carried with the old
+        # value for the fused agg
         scaled = (
             pr.join(inv_small if inv_small is not None else inv, on=ID, how="inner")
             .select(F.col(ID), (F.col(VAL) * F.col("inv")).alias(VAL))
         )
         new = vxm(scaled, edges, alg.PLUS_TIMES, strategy=strategy)
+        base = pr.alias("p").join(new.alias("m"), on=ID, how="left")
+        if tele is not None:
+            base = base.join(tele, on=ID)
         nxt = (
-            pr.alias("p")
-            .join(new.alias("m"), on=ID, how="left")
+            base
             .join(inv.select(ID, F.lit(True).alias("_has_out")), on=ID, how="left")
             .select(
                 F.col(ID),
-                (F.coalesce(F.col(f"m.{VAL}"), F.lit(0.0)) + F.lit(d)).alias(VAL),
+                (F.coalesce(F.col(f"m.{VAL}"), F.lit(0.0)) + add).alias(VAL),
                 F.col(f"p.{VAL}").alias("_old"),
                 F.col("_has_out"),
             )
@@ -167,6 +200,8 @@ def simple_pagerank(
             break
 
     inv.unpersist()
+    if tele is not None:
+        tele.unpersist()
     if we_persisted:
         edges.unpersist()
     if checkpointer is not None:

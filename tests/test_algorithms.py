@@ -188,3 +188,61 @@ def test_sssp_pattern_and_illegal(spark):
     assert got == {0: 0.0, 1: 0.0, 2: 0.0}  # pattern edges cost ring one
     with _pytest.raises(ValueError):
         sssp(spark, E, 3, source=5)
+
+
+def test_personalized_pagerank_matches_numpy(spark):
+    import numpy as np
+
+    from alp_spark.algorithms.simple_pagerank import simple_pagerank
+    from alp_spark.containers import vector_schema
+
+    from .fixtures import g_dangling
+
+    n, edges = g_dangling()
+    seeds = {0: 0.7, 2: 0.3}
+    tele_df = spark.createDataFrame(list(seeds.items()), vector_schema("double"))
+    E = edges_df(spark, edges)
+    res = simple_pagerank(
+        spark, E, n, alpha=0.85, conv=0.0, max_iter=6, teleport=tele_df
+    )
+    got = {r["id"]: r["val"] for r in res.ranks.collect()}
+
+    v = np.zeros(n)
+    for i, w in seeds.items():
+        v[i] = w
+    outdeg = np.zeros(n)
+    for s, d in edges:
+        outdeg[s] += 1
+    pr = v.copy()
+    for _ in range(6):
+        dangling = pr[outdeg == 0].sum()
+        nxt = np.zeros(n)
+        for s, d in edges:
+            nxt[d] += 0.85 * pr[s] / outdeg[s]
+        nxt += (0.85 * dangling + 0.15) * v
+        pr = nxt
+    for i in range(n):
+        assert abs(got[i] - pr[i]) < 1e-12
+    assert abs(sum(got.values()) - 1.0) < 1e-9  # mass conserved
+
+
+def test_ppr_uniform_teleport_equals_standard(spark):
+    import numpy as np
+
+    from alp_spark.algorithms.simple_pagerank import simple_pagerank
+    from alp_spark.containers import vector_schema
+
+    from .fixtures import g_dangling
+
+    n, edges = g_dangling()
+    E = edges_df(spark, edges)
+    uni = spark.createDataFrame(
+        [(i, 1.0 / n) for i in range(n)], vector_schema("double")
+    )
+    a = simple_pagerank(spark, E, n, conv=0.0, max_iter=4)
+    b = simple_pagerank(spark, E, n, conv=0.0, max_iter=4, teleport=uni)
+    ga = {r["id"]: r["val"] for r in a.ranks.collect()}
+    gb = {r["id"]: r["val"] for r in b.ranks.collect()}
+    np.testing.assert_allclose(
+        [ga[i] for i in range(n)], [gb[i] for i in range(n)], rtol=1e-12
+    )
