@@ -10,3 +10,5 @@ from .extract import extract_links_udf, extract_text_udf  # noqa: F401
 from .ids import assign_contiguous_ids  # noqa: F401
 from .links import build_edge_table, extract_edges  # noqa: F401
 from .pages import synthesize_pages  # noqa: F401
+from .readers import read_matrix_market, read_snap_edges  # noqa: F401
+from .sinks import read_bucketed, write_bucketed  # noqa: F401

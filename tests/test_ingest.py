@@ -70,3 +70,34 @@ def test_pages_schema_and_lang(spark):
     ]
     langs = {r["url"]: r["lang"] for r in pages.select("url", "lang").collect()}
     assert langs[url_of(3)] == "de" and langs[url_of(0)] == "en"
+
+
+def test_bucketed_sink_joins_without_exchange(spark):
+    # bucketed tables co-locate: the src-equi-join of two tables
+    # bucketed the same way must plan with ZERO Exchange, and results
+    # must equal the plain join (sources/sinks.py — the pay-the-
+    # shuffle-once ingest form)
+    from pyspark.sql import functions as F
+
+    from alp_spark.sources import read_bucketed, write_bucketed
+
+    e = spark.range(500).select(
+        (F.col("id") % 53).alias("src"), (F.col("id") % 47).alias("dst")
+    )
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(e, "t_edges_a", 4)
+        write_bucketed(e.select("src", (F.col("dst") + 1).alias("dst")), "t_edges_b", 4)
+        a, b = read_bucketed(spark, "t_edges_a"), read_bucketed(spark, "t_edges_b")
+        j = a.join(b, on="src")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        want = e.join(
+            e.select("src", (F.col("dst") + 1).alias("dst")), on="src"
+        ).count()
+        assert j.count() == want
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
+        spark.sql("DROP TABLE IF EXISTS t_edges_a")
+        spark.sql("DROP TABLE IF EXISTS t_edges_b")
