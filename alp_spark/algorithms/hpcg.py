@@ -359,7 +359,10 @@ def hpcg(
         else:
             old = r_dot_z
             r_dot_z = _dot(r, z)
-            beta = r_dot_z / old
+            # C++ double division yields NaN/inf on old == 0 (e.g.
+            # b ≡ 0 ⇒ z = p = 0); the loop guard below absorbs the NaN
+            # — mirror that instead of raising ZeroDivisionError.
+            beta = r_dot_z / old if old != 0.0 else float("nan")
             # p = beta·p + z (the reference's eWiseMulAdd FMA, hpcg.hpp:73-75)
             p = (
                 p.join(z.select("id", F.col("val").alias("_z")), on="id")
@@ -368,7 +371,7 @@ def hpcg(
             )
         Ap = _spmv(A, p).localCheckpoint(eager=False)
         pAp = _dot(Ap, p)
-        alpha = r_dot_z / pAp
+        alpha = r_dot_z / pAp if pAp != 0.0 else float("nan")
         x = (
             x.join(p.select("id", F.col("val").alias("_p")), on="id")
             .select("id", (F.col("val") + F.lit(alpha) * F.col("_p")).alias("val"))

@@ -62,20 +62,39 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
 def streaming_sessionize(
     events: DataFrame, gap_minutes: int = 30,
     timeout_minutes: int | None = None,
+    event_time_timeout: bool = False,
 ):
     """Streaming twin over a streaming DataFrame: per-user state folds
     events into the open session; a gap-exceeding event closes and
-    emits the previous session. With ``timeout_minutes`` set, a
-    processing-time timer additionally flushes idle users' open
-    sessions — use that on a continuously-running production query.
+    emits the previous session.
+
+    Timer modes (both retain the per-user ``sid`` counter across a
+    flush, so session numbering stays monotone from 1 in time order):
+
+    - ``timeout_minutes`` set: a processing-time timer flushes idle
+      users' open sessions — use on a continuously-running query.
+    - ``event_time_timeout=True``: an event-time timer fires once the
+      watermark passes ``session_end + gap`` — at that point no
+      on-time event can extend the session, so the emitted prefix
+      provably matches the batch oracle on closed sessions even with
+      late/out-of-order data. Requires ``events`` to carry a
+      watermark on ``ts`` (``events.withWatermark("ts", ...)``).
+
     Default is NO timer: open sessions wait for their closing event,
     which is also what lets a drain-style run (Trigger.AvailableNow)
-    terminate — a pending processing-time timer keeps an availableNow
-    query alive until the timer fires. Emitted (closed) sessions match
-    :func:`sessionize` on fully-arrived, per-user-ordered data."""
+    terminate — a pending timer keeps an availableNow query alive
+    until it fires. Emitted (closed) sessions match :func:`sessionize`
+    on fully-arrived data; cross-batch disorder inside a still-open
+    session is absorbed via ``st=min``/``en=max`` rather than
+    corrupting subsequent gap checks."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    if timeout_minutes is not None and event_time_timeout:
+        raise ValueError(
+            "choose either timeout_minutes (processing-time) or "
+            "event_time_timeout, not both"
+        )
     gap_us = int(gap_minutes) * 60 * 1_000_000
 
     def fold(key_tuple, pdfs, state: GroupState):
@@ -84,8 +103,12 @@ def streaming_sessionize(
         if state.hasTimedOut:
             if state.exists:
                 st, en, cnt, tot, sid = state.get
-                out.append((user_id, sid, st, en, cnt, round(tot, 6)))
-                state.remove()
+                if st is not None:
+                    out.append((user_id, sid, st, en, cnt, round(tot, 6)))
+                # Keep the sid counter (st=None ⇒ no open session) so
+                # the user's next session numbers monotonically instead
+                # of restarting at 1 (ADVICE r3).
+                state.update((None, None, 0, 0.0, sid))
         else:
             rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
             if state.exists:
@@ -101,10 +124,19 @@ def streaming_sessionize(
                     out.append((user_id, sid, st, en, cnt, round(tot, 6)))
                     st, en, cnt, tot, sid = t, t, 1, float(r.value), sid + 1
                 else:
-                    en, cnt, tot = t, cnt + 1, tot + float(r.value)
+                    # Late events inside the open session must not move
+                    # its bounds backwards (ADVICE r3): extend both ends
+                    # monotonically so later gap checks compare against
+                    # the true latest timestamp.
+                    st, en = min(st, t), max(en, t)
+                    cnt, tot = cnt + 1, tot + float(r.value)
             state.update((st, en, cnt, tot, sid))
             if timeout_minutes is not None:
                 state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+            elif event_time_timeout and st is not None:
+                # Fire once the watermark passes session_end + gap: no
+                # on-time event can extend the session past that point.
+                state.setTimeoutTimestamp((en + gap_us) // 1000 + 1)
         ts = lambda us_: pd.Timestamp(us_ * 1000)  # noqa: E731
         yield pd.DataFrame(
             [
@@ -129,6 +161,8 @@ def streaming_sessionize(
             timeoutConf=(
                 GroupStateTimeout.ProcessingTimeTimeout
                 if timeout_minutes is not None
+                else GroupStateTimeout.EventTimeTimeout
+                if event_time_timeout
                 else GroupStateTimeout.NoTimeout
             ),
         )

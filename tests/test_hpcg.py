@@ -118,3 +118,16 @@ def test_hpcg_illegal_inputs(spark):
         build_coarse_map(spark, (3, 3), (4, 4))
     with pytest.raises(ValueError):  # size < colors
         build_hpcg_system(spark, (3, 3), num_colors=27)
+
+
+def test_hpcg_zero_rhs_graceful_exit(spark):
+    # ADVICE r3: b ≡ 0 gives z = p = 0 on iteration 1, so pAp == 0; the
+    # C++ reference's double division yields NaN that the loop guard
+    # absorbs (hpcg.hpp:96) — our driver must exit the same way instead
+    # of raising ZeroDivisionError.
+    sizes = (3, 3, 3)
+    system = build_hpcg_system(spark, sizes, num_colors=3, max_levels=1)
+    zeros = _vec_df(spark, np.zeros(27))
+    res = hpcg(spark, system, zeros, max_iterations=5, tolerance=1e-9)
+    assert res.iterations == 1  # NaN relative residual stops the loop
+    assert res.residuals[0] == 0.0

@@ -198,3 +198,106 @@ def test_streaming_sessionize_closed_sessions_match_batch(spark, tmp_path):
     want = {k: v for k, v in w_last.items() if k[1] != last[k[0]]}
     assert got == want
     assert got  # at least one closed session was actually emitted
+
+
+def _write_batches(spark, path, schema, batches):
+    """Write each row-list as its own parquet file, spaced in mtime so
+    maxFilesPerTrigger=1 replays them as ordered micro-batches."""
+    import time
+
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(path)
+        time.sleep(0.05)
+
+
+def test_streaming_sessionize_event_time_timeout(spark, tmp_path):
+    # VERDICT r3 item 8: with event_time_timeout, a session is emitted
+    # once the watermark passes session_end + gap (no on-time event can
+    # extend it), and — the ADVICE r3 fix — the per-user sid counter
+    # survives the flush so the next session numbers monotonically.
+    import datetime as dt
+
+    from alp_spark.pipeline import streaming_sessionize
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+    schema = "event_id long, ts timestamp, user_id long, value double"
+    path = str(tmp_path / "sess_et")
+    _write_batches(
+        spark,
+        path,
+        schema,
+        [
+            [(0, m(0), 1, 1.0), (1, m(10), 1, 2.0)],  # user 1 session 1
+            [(2, m(600), 2, 9.0)],  # advances watermark -> flush (1,1)
+            [(3, m(700), 1, 4.0)],  # user 1 session 2 opens
+            [(4, m(800), 1, 5.0)],  # gap>30 closes session 2 by event
+        ],
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+        .withWatermark("ts", "0 seconds")
+    )
+    out = run_to_memory(
+        streaming_sessionize(stream, gap_minutes=30, event_time_timeout=True),
+        spark,
+        "sess_et_t",
+    )
+    got = {
+        (r["user_id"], r["session_id"]): (
+            r["session_start"], r["session_end"], r["n_events"]
+        )
+        for r in out.collect()
+    }
+    # (1,1) flushed by the event-time timer; (1,2) — NOT a second (1,1)
+    # — closed by the gap event; (2,1) flushed once wm reached 630.
+    assert got[(1, 1)] == (m(0), m(10), 2)
+    assert got[(1, 2)] == (m(700), m(700), 1)
+    assert got[(2, 1)] == (m(600), m(600), 1)
+    # session 3 (m(800)) is still open: watermark never passed 830
+    assert (1, 3) not in got
+
+
+def test_streaming_sessionize_late_event_keeps_session_end(spark, tmp_path):
+    # ADVICE r3: a late event landing inside the open session in a later
+    # micro-batch must not drag session_end backwards; bounds extend
+    # monotonically (st=min, en=max).
+    import datetime as dt
+
+    from alp_spark.pipeline import streaming_sessionize
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    m = lambda k: base + dt.timedelta(minutes=k)  # noqa: E731
+    schema = "event_id long, ts timestamp_ntz, user_id long, value double"
+    path = str(tmp_path / "sess_late")
+    _write_batches(
+        spark,
+        path,
+        schema,
+        [
+            [(0, m(0), 1, 1.0), (1, m(20), 1, 2.0)],
+            # m(10) arrives late (inside the open session), then m(60)
+            # closes it; the gap check must use en=20, and the emitted
+            # session_end must be m(20), not the stale m(10)
+            [(2, m(10), 1, 3.0), (3, m(60), 1, 4.0)],
+        ],
+    )
+    stream = (
+        spark.readStream.schema(spark.read.parquet(path).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    out = run_to_memory(
+        streaming_sessionize(stream, gap_minutes=30), spark, "sess_late_t"
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["user_id"], r["session_id"]) == (1, 1)
+    assert r["session_start"] == m(0)
+    assert r["session_end"] == m(20)
+    assert r["n_events"] == 3
