@@ -699,6 +699,11 @@ HPCG_COARSE = (4, 4, 4)
 HPCG_COLORS = 3
 HPCG_DIAG = 26.0
 HPCG_ITERS = 2  # pinned CG iterations (oracle-unrollable)
+# hpcg2: a THREE-level hierarchy (16³ → 8³ → 4³) so the V-cycle
+# recursion restricts/prolongates across two coarsenings
+# (multigrid_v_cycle.hpp multi_grid:179-254 at depth > 1)
+HPCG2_LEVELS = ((16, 16, 16), (8, 8, 8), (4, 4, 4))
+HPCG2_ITERS = 2
 
 
 def q_hpcg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -722,6 +727,31 @@ def q_hpcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.col("val") * F.col("_x")).alias("val"))
     )
     res = hpcg(spark, system, b, max_iterations=HPCG_ITERS, tolerance=0.0)
+    return res.x.select("id", F.round("val", 6).alias("x"))
+
+
+def q_hpcg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HPCG across a three-level multigrid hierarchy (16³ → 8³ → 4³):
+    the V-cycle recursion restricts/prolongates through TWO coarsenings
+    before the coarsest sweep (multigrid_v_cycle.hpp:179-254 at depth
+    2). Same b = A·1 smoke system and generated fully-unrolled SQL
+    oracle technique as ``hpcg``."""
+    from alp_spark.algorithms.hpcg import build_hpcg_system, hpcg
+
+    system = build_hpcg_system(
+        spark, HPCG2_LEVELS[0], num_colors=HPCG_COLORS, max_levels=2
+    )
+    assert system.coarser is not None and system.coarser.coarser is not None
+    ones = spark.range(system.n).select("id", F.lit(1.0).alias("val"))
+    b = (
+        system.A.join(
+            ones.select(F.col("id").alias("col"), F.col("val").alias("_x")),
+            on="col",
+        )
+        .groupBy(F.col("row").alias("id"))
+        .agg(F.sum(F.col("val") * F.col("_x")).alias("val"))
+    )
+    res = hpcg(spark, system, b, max_iterations=HPCG2_ITERS, tolerance=0.0)
     return res.x.select("id", F.round("val", 6).alias("x"))
 
 
@@ -843,6 +873,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": q_ivf_topk,
         "spy": q_spy,
         "hpcg": q_hpcg,
+        "hpcg2": q_hpcg2,
         "sssp": q_sssp,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
@@ -1212,17 +1243,17 @@ SELECT query_id, rank::BIGINT AS rank, neighbor_id, cos
 FROM ranked WHERE rank <= {ANN_K}"""
 
 
-def _hpcg_sql() -> str:
-    """Fully unrolled HPCG (mirrors algorithms/hpcg.py): 27-point
-    stencil + injection map as generated CTEs, then HPCG_ITERS CG
-    iterations each applying the 2-level V-cycle — pre color sweep
-    (fwd+bwd over HPCG_COLORS stripes), restrict, coarsest sweep,
-    prolongate, post sweep — with the CG scalars as one-row CTEs."""
-    nx, ny, nz = HPCG_SIZES
-    n = nx * ny * nz
-    cnx, cny, cnz = HPCG_COARSE
-    nc = cnx * cny * cnz
+def _hpcg_sql_levels(level_sizes: list, iters: int) -> str:
+    """Fully unrolled HPCG over an arbitrary coarsening hierarchy
+    (mirrors algorithms/hpcg.py): 27-point stencil + injection map per
+    level as generated CTEs, then ``iters`` CG iterations each applying
+    the recursive V-cycle — pre color sweep (fwd+bwd over HPCG_COLORS
+    stripes), restrict, recurse (coarsest level: one sweep), prolongate,
+    post sweep — with the CG scalars as one-row CTEs."""
     C, d = HPCG_COLORS, HPCG_DIAG
+    L = len(level_sizes)
+    ns = [sx * sy * sz for (sx, sy, sz) in level_sizes]
+    n = ns[0]
     blocks: list[str] = []
     offs = ", ".join(
         f"({dx}, {dy}, {dz})"
@@ -1246,15 +1277,21 @@ def _hpcg_sql() -> str:
     AND g.cz + o.dz BETWEEN 0 AND {sz - 1}
 )""")
 
-    stencil("A", nx, ny, nz)
-    stencil("Ac", cnx, cny, cnz)
-    step = nx // cnx
-    blocks.append(f"""cmap AS MATERIALIZED (
+    A_names: list[str] = []
+    for li, (sx, sy, sz) in enumerate(level_sizes):
+        name = "A" if li == 0 else f"A_{li}"
+        stencil(name, sx, sy, sz)
+        A_names.append(name)
+    for li in range(L - 1):
+        fsx, fsy, fsz = level_sizes[li]
+        csx, csy, csz = level_sizes[li + 1]
+        stx, sty, stz = fsx // csx, fsy // csy, fsz // csz
+        blocks.append(f"""cmap_{li} AS MATERIALIZED (
   SELECT id AS cid,
-         (id % {cnx}) * {step}
-         + ((id // {cnx}) % {cny}) * {step} * {nx}
-         + (id // {cnx * cny}) * {step} * {nx * ny} AS fid
-  FROM range({nc}) t(id)
+         (id % {csx}) * {stx}
+         + ((id // {csx}) % {csy}) * {sty} * {fsx}
+         + (id // {csx * csy}) * {stz} * {fsx * fsy} AS fid
+  FROM range({ns[li + 1]}) t(id)
 )""")
     blocks.append(
         "b AS MATERIALIZED (SELECT row AS id, sum(val) AS val FROM A GROUP BY row)"
@@ -1299,33 +1336,31 @@ def _hpcg_sql() -> str:
 )""")
         return y
 
-    def mg(r: str) -> str:
+    def mg(r: str, li: int) -> str:
         z = fresh("z")
         blocks.append(
-            f"{z} AS MATERIALIZED (SELECT id, 0.0 AS val FROM range({n}) t(id))"
+            f"{z} AS MATERIALIZED (SELECT id, 0.0 AS val FROM range({ns[li]}) t(id))"
         )
-        z = smoother_round(z, r, "A")  # pre-smooth (1 round)
-        az = spmv("A", z)
+        if li == L - 1:  # coarsest level: exactly one sweep
+            return smoother_round(z, r, A_names[li])
+        z = smoother_round(z, r, A_names[li])  # pre-smooth (1 round)
+        az = spmv(A_names[li], z)
         rc = fresh("rc")
         blocks.append(f"""{rc} AS MATERIALIZED (
   SELECT m.cid AS id, r.val - coalesce(az.val, 0) AS val
-  FROM cmap m JOIN {r} r ON r.id = m.fid
+  FROM cmap_{li} m JOIN {r} r ON r.id = m.fid
   LEFT JOIN {az} az ON az.id = m.fid
 )""")
-        zc = fresh("z")
-        blocks.append(
-            f"{zc} AS MATERIALIZED (SELECT id, 0.0 AS val FROM range({nc}) t(id))"
-        )
-        zc = smoother_round(zc, rc, "Ac")  # coarsest level: 1 round
+        zc = mg(rc, li + 1)
         zp = fresh("z")
         blocks.append(f"""{zp} AS MATERIALIZED (
   SELECT z.id, z.val + coalesce(c.cval, 0) AS val
   FROM {z} z LEFT JOIN (
     SELECT m.fid AS id, zc.val AS cval
-    FROM cmap m JOIN {zc} zc ON zc.id = m.cid
+    FROM cmap_{li} m JOIN {zc} zc ON zc.id = m.cid
   ) c ON c.id = z.id
 )""")
-        return smoother_round(zp, r, "A")  # post-smooth (1 round)
+        return smoother_round(zp, r, A_names[li])  # post-smooth (1 round)
 
     def dot(a: str, bb: str) -> str:
         s = fresh("sc")
@@ -1337,8 +1372,8 @@ def _hpcg_sql() -> str:
 
     x, r, p = "vx0", "vr0", ""
     rz_prev = ""
-    for it in range(HPCG_ITERS):
-        z = mg(r)
+    for it in range(iters):
+        z = mg(r, 0)
         rz = dot(r, z)
         if it == 0:
             p = z
@@ -1367,6 +1402,14 @@ def _hpcg_sql() -> str:
     joined = ",\n".join(blocks)
     return f"""WITH {joined}
 SELECT id, round(val, 6) AS x FROM {x}"""
+
+
+def _hpcg_sql() -> str:
+    return _hpcg_sql_levels([HPCG_SIZES, HPCG_COARSE], HPCG_ITERS)
+
+
+def _hpcg2_sql() -> str:
+    return _hpcg_sql_levels(list(HPCG2_LEVELS), HPCG2_ITERS)
 
 
 def _sssp_sql() -> str:
@@ -1807,6 +1850,7 @@ SELECT id, true AS reached FROM hop2""",
         "kmeans": _kmeans_sql(),
         "ivf_topk": _ivf_sql(),
         "hpcg": _hpcg_sql(),
+        "hpcg2": _hpcg2_sql(),
         "sssp": _sssp_sql(),
         "sessionize": f"""WITH o AS (
   SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,

@@ -7,7 +7,7 @@ from .kmeans import kmeans, kpp_initialisation  # noqa: F401
 from .label_propagation import label_propagation  # noqa: F401
 from .mpv import knn, mpv  # noqa: F401
 from .pregel_pagerank import pregel_pagerank  # noqa: F401
-from .simple_pagerank import simple_pagerank  # noqa: F401
+from .simple_pagerank import simple_pagerank, simple_pagerank_csr  # noqa: F401
 from .solvers import bicgstab, conjugate_gradient  # noqa: F401
 from .sparse_nn import sparse_nn_single_inference  # noqa: F401
 from .spy import spy  # noqa: F401

@@ -95,16 +95,34 @@ def kpp_initialisation(
     seed: int,
     id_col: str = "id",
     vec_col: str = "vec",
+    sample_cap: int | None = None,
 ) -> list[list[float]]:
     """k++ seeding (kmeans.hpp:60-200): start from a uniform random
     point, then repeatedly draw the next centroid with probability
     proportional to the reference's scan weights (see module note on
-    the selected-vs-min distances quirk)."""
+    the selected-vs-min distances quirk).
+
+    ``sample_cap``: when set and n exceeds it, the exact scan runs on a
+    deterministic hash-ranked sample of ``sample_cap`` points (seeded
+    top-k by ``xxhash64(id, seed)`` — a per-partition top-k merge, no
+    global sort shuffle), removing the single-partition O(n) ordered
+    window at scale. The reference's own kpp is explicitly
+    single-process (kmeans.hpp:158-161); seeding quality is preserved
+    because k++ needs a spread sample, not the full corpus. With
+    n ≤ sample_cap the input is untouched, so results equal the exact
+    path bit-for-bit (pytest-asserted)."""
     pts = points.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
     ).localCheckpoint(eager=False)
     n = pts.count()
+    if sample_cap is not None and n > sample_cap:
+        pts = (
+            pts.orderBy(F.xxhash64(F.col("id"), F.lit(int(seed))), "id")
+            .limit(int(sample_cap))
+            .localCheckpoint(eager=False)
+        )
+        n = int(sample_cap)
     first, samples = kpp_draws(n, k, seed)
     # the uniform draw indexes the id-ordered point list (the reference
     # indexes columns 0..n-1 of X); O(1) rows reach the driver
@@ -164,14 +182,23 @@ def kmeans(
     id_col: str = "id",
     vec_col: str = "vec",
     init: list[list[float]] | None = None,
+    kpp_sample_cap: int | None = None,
 ) -> KmeansResult:
-    """kpp seeding + Lloyd's iteration (kmeans.hpp:224-373)."""
+    """kpp seeding + Lloyd's iteration (kmeans.hpp:224-373).
+
+    ``kpp_sample_cap`` caps the kpp seeding scan to a deterministic
+    sample (see :func:`kpp_initialisation`) — use ≈10⁶ when training a
+    quantizer over billions of embeddings; Lloyd's iteration itself is
+    fully distributed either way."""
     if k <= 0:
         raise ValueError("k must be positive (reference MISMATCH)")
     centroids = (
         [list(map(float, c)) for c in init]
         if init is not None
-        else kpp_initialisation(spark, points, k, seed, id_col, vec_col)
+        else kpp_initialisation(
+            spark, points, k, seed, id_col, vec_col,
+            sample_cap=kpp_sample_cap,
+        )
     )
     m = len(centroids[0])
     pts = points.select(

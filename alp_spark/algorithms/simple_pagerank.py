@@ -221,6 +221,7 @@ def simple_pagerank_csr(
     checkpoint_every: int = 5,
     max_driver_n: int = 1_000_000_000,
     engine: str = "auto",
+    seg_transport: str = "files",
 ) -> PageRankResult:
     """Same semantics as :func:`simple_pagerank`, executed over one-time
     packed CSR edge blocks (north-star physical form; see
@@ -239,7 +240,10 @@ def simple_pagerank_csr(
     (:mod:`alp_spark.plans.csr_segloop`); 'auto' switches to 'segments'
     above ``max_driver_n`` (default 10^9 ≈ 8 GB of f64 on the driver) —
     the loop-size strategy switch of reference/blas2.hpp:1104, now with
-    no driver ceiling at all on the far side.
+    no driver ceiling at all on the far side. ``seg_transport`` picks
+    the segments engine's exchange: 'files' (cache_dir; shared storage
+    on clusters) or 'shuffle' (shared-nothing keyed shuffle — stock
+    multi-executor clusters, csr_segloop module docstring).
     """
     import numpy as np
 
@@ -257,6 +261,7 @@ def simple_pagerank_csr(
             seg = pagerank_csr_segments(
                 spark, csr, edges, alpha=alpha, conv=conv, max_iter=max_iter,
                 checkpointer=checkpointer, checkpoint_every=checkpoint_every,
+                transport=seg_transport,
             )
             ranks = seg.ranks.localCheckpoint(eager=True)  # outlives the files
         finally:

@@ -65,13 +65,20 @@ def vxm(
     accum: DataFrame | None = None,
     strategy: str = "auto",
     frontier_nnz: int | None = None,
+    out_mask_nnz: int | None = None,
 ) -> DataFrame:
     """u = v ⊙.⊕ A  (base/blas2.hpp:307; u[j] = ⊕_i v[i] ⊗ A[i,j]).
 
     ``accum``: existing u to ⊕-fold the product into (the reference's
     in-place accumulation u = u ⊕ vA). ``transpose`` swaps src/dst
     (descriptors.hpp:71). ``strategy``: 'broadcast' | 'shuffle' | 'auto'
-    with ``frontier_nnz`` as the auto-mode cost input.
+    with ``frontier_nnz`` as the auto-mode cost input. ``out_mask_nnz``:
+    driver-known size of ``out_mask`` — at or below the broadcast
+    threshold the mask semi-join broadcasts the mask so the edge table
+    is never shuffled for the pruning step (the reference picks the
+    loop side by the same counted-size comparison, the ``emiim``
+    choice at reference/blas2.hpp:1063-1145); ``None`` leaves the
+    choice to AQE's runtime stats.
     """
     join_key, group_key = (DST, SRC) if transpose else (SRC, DST)
 
@@ -82,9 +89,10 @@ def vxm(
     if out_mask is not None:
         # prune before the shuffle: only edges landing in the mask matter
         how = "left_anti" if invert_out_mask else "left_semi"
-        edges = edges.join(
-            out_mask.select(F.col(ID).alias(group_key)), on=group_key, how=how
-        )
+        mask_side = out_mask.select(F.col(ID).alias(group_key))
+        if out_mask_nnz is not None and out_mask_nnz <= BROADCAST_NNZ_THRESHOLD:
+            mask_side = F.broadcast(mask_side)
+        edges = edges.join(mask_side, on=group_key, how=how)
 
     vv = v.select(F.col(ID).alias(join_key), F.col(VAL).alias("_v"))
     if _resolve_strategy(strategy, frontier_nnz) == "broadcast":
@@ -121,6 +129,7 @@ def mxv(
     accum: DataFrame | None = None,
     strategy: str = "auto",
     frontier_nnz: int | None = None,
+    out_mask_nnz: int | None = None,
 ) -> DataFrame:
     """u = A ⊙.⊕ v  (base/blas2.hpp:243; u[i] = ⊕_j A[i,j] ⊗ v[j]) —
     identically vxm over Aᵀ (base/blas2.hpp:281-283), with the ⊗ operand
@@ -141,6 +150,7 @@ def mxv(
         accum=accum,
         strategy=strategy,
         frontier_nnz=frontier_nnz,
+        out_mask_nnz=out_mask_nnz,
     )
 
 

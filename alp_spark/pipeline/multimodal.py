@@ -127,25 +127,96 @@ def _decode_wav(payload: bytes) -> np.ndarray:
     return (samples - lo) / span
 
 
+def _optional_pillow():
+    """Pillow's Image module when installed, else None — compressed
+    image decode (JPEG/PNG/WebP) lights up by availability."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _optional_av():
+    """PyAV when installed, else None — compressed audio/video container
+    decode (MP3/MP4/H.264) lights up by availability."""
+    try:
+        import av  # noqa: PLC0415
+
+        return av
+    except ImportError:
+        return None
+
+
+_JPEG_MAGIC = b"\xff\xd8\xff"
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+_WEBP_RIFF_TAG = b"WEBP"  # RIFF container with WEBP form type
+
+
+def _decode_pillow(Image, payload: bytes) -> np.ndarray:
+    import io
+
+    with Image.open(io.BytesIO(payload)) as img:
+        px = np.asarray(img.convert("L"), dtype=np.float32).ravel()
+    return px / 256.0
+
+
+def _decode_av(av, payload: bytes) -> np.ndarray:
+    import io
+
+    with av.open(io.BytesIO(payload)) as container:
+        stream = container.streams[0]
+        chunks = []
+        for frame in container.decode(stream):
+            arr = frame.to_ndarray()
+            if stream.type == "video":
+                # luma plane / RGB mean, matching _decode_netpbm
+                if arr.ndim == 3:
+                    arr = arr.mean(axis=-1)
+                chunks.append(arr.ravel().astype(np.float32) / 256.0)
+            else:
+                a = arr.astype(np.float32).ravel()
+                chunks.append((a - a.min()) / max(float(a.ptp()), 1.0))
+    return np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.float32)
+
+
 def _real_decode(payload: bytes, n: int = 64) -> np.ndarray:
-    """Stdlib-only decode of genuine uncompressed formats: binary netpbm
-    images (P5/P6), PCM WAV audio (RIFF), and RAWV (4-byte magic +
-    concatenated raw RGB frames — the synthesize_media video format).
-    Returns n intensities in [0, 1). Compressed codecs (JPEG/MP3/H.264)
-    need Pillow/ffmpeg/torchaudio — plug them in here; the Spark
-    plumbing (mapInPandas batching, schema, partitioning) is unchanged."""
+    """Decode genuine formats into n intensities in [0, 1). Stdlib-only
+    for uncompressed payloads: binary netpbm images (P5/P6), PCM WAV
+    audio (RIFF), and RAWV (4-byte magic + concatenated raw RGB frames —
+    the synthesize_media video format). Compressed codecs are selected
+    by library availability: JPEG/PNG/WebP via Pillow, MP3/MP4/H.264
+    containers via PyAV — ``NotImplementedError`` is raised only when
+    the payload needs a codec whose library is truly absent. The Spark
+    plumbing (mapInPandas batching, schema, partitioning) is identical
+    for every decoder."""
     if payload is None or len(payload) == 0:
         return np.zeros(n, dtype=np.float32)
     if payload[:2] in (b"P5", b"P6"):
         return _resample(_decode_netpbm(payload), n)
-    if payload[:4] == b"RIFF":
+    if payload[:4] == b"RIFF" and payload[8:12] != _WEBP_RIFF_TAG:
         return _resample(_decode_wav(payload), n)
     if payload[:4] == b"RAWV":
         px = np.frombuffer(payload[4:], dtype=np.uint8).astype(np.float32)
         return _resample(px / 256.0, n)
+    if payload[:3] == _JPEG_MAGIC or payload[:8] == _PNG_MAGIC or (
+        payload[:4] == b"RIFF" and payload[8:12] == _WEBP_RIFF_TAG
+    ):
+        Image = _optional_pillow()
+        if Image is not None:
+            return _resample(_decode_pillow(Image, payload), n)
+        raise NotImplementedError(
+            "compressed image decode (JPEG/PNG/WebP) requires Pillow — "
+            "install it and this path activates automatically"
+        )
+    av = _optional_av()
+    if av is not None:
+        return _resample(_decode_av(av, payload), n)
     raise NotImplementedError(
-        "compressed codec decode (JPEG/MP3/H.264/...) requires "
-        "Pillow/ffmpeg/torchaudio — plug the codec in here"
+        "compressed codec decode (MP3/MP4/H.264/...) requires PyAV "
+        "(or plug ffmpeg/torchaudio in here) — install it and this "
+        "path activates automatically"
     )
 
 

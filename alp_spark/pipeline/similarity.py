@@ -295,11 +295,13 @@ def ivf_topk(
     :func:`lsh_ann_topk` — IVF adapts its cells to the data
     distribution where SRP buckets are data-oblivious.
 
-    ``centroids`` come from :func:`alp_spark.algorithms.kmeans` (train
-    on a sample at scale — the reference's own kpp is single-node,
-    kmeans.hpp:158-161). ``assignments`` optionally reuses the (id,
-    cluster) table kmeans already computed; otherwise one assignment
-    scan runs here.
+    ``centroids`` come from :func:`alp_spark.algorithms.kmeans` — at
+    scale pass ``kpp_sample_cap≈10⁶`` there so the seeding scan runs on
+    a deterministic sample instead of the single-partition O(n) window
+    (the reference's own kpp is single-node, kmeans.hpp:158-161; Lloyd
+    stays fully distributed). ``assignments`` optionally reuses the
+    (id, cluster) table kmeans already computed; otherwise one
+    assignment scan runs here.
 
     Scale shape: centroids are k·m literals baked into the plan (no
     shuffle to distribute them); assignment is one embarrassingly

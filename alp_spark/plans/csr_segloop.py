@@ -25,10 +25,23 @@ Per superstep (ONE Spark job, two stages):
 
 The dense-x-per-worker assumption of the CSR design is unchanged
 (executor memory O(n·8 B)); only the driver leaves the O(n) path.
-Transport: segment files on ``cache_dir`` — driver-shared by
-construction in local mode; on a multi-executor cluster point
-``cache_dir`` at shared storage (NFS / fuse-mounted object store), the
-same deployment note as ``spmv_dense(x_transport='file')``.
+
+Transport (``transport=``):
+
+- ``'files'``: segment files on ``cache_dir`` — driver-shared by
+  construction in local mode; on a multi-executor cluster point
+  ``cache_dir`` at shared storage (NFS / fuse-mounted object store),
+  the same deployment note as ``spmv_dense(x_transport='file')``.
+- ``'shuffle'``: NO shared filesystem — the per-range state (pr, x,
+  inv, mask) is a P-row binary-column DataFrame checkpointed
+  executor-resident each superstep, the CSR chunks ride a persisted
+  DataFrame co-partitioned by compute task, and the dense-x allgather
+  is a keyed shuffle replicating the P x-segments to each of the T
+  compute tasks (T·n·8 bytes/superstep — exactly the volume of BSP1D's
+  ``synchronize`` allgather of ``v._global``, bsp1d/blas2.hpp:111-119).
+  Partials ⊕-combine in global-chunk-index order, so results are
+  deterministic and resume is bit-for-bit, independent of shuffle
+  arrival order. Runs on stock multi-executor clusters.
 
 Cited parity: the update algebra mirrors
 algorithms/simple_pagerank.py:231-245 (itself simple_pagerank.hpp:
@@ -151,6 +164,7 @@ def pagerank_csr_segments(
     checkpoint_every: int = 5,
     init_ranks: DataFrame | None = None,
     init_superstep: int = 0,
+    transport: str = "files",
 ) -> SegPageRankResult:
     """PageRank over packed CSR chunks with O(P) driver traffic per
     superstep (semantics of algorithms/simple_pagerank.py:231-245).
@@ -169,6 +183,8 @@ def pagerank_csr_segments(
         raise ValueError("alpha must be in (0,1), max_iter > 0")
     if init_superstep < 0 or (init_superstep > 0 and init_ranks is None):
         raise ValueError("init_superstep needs init_ranks")
+    if transport not in ("files", "shuffle"):
+        raise ValueError("transport must be 'files' or 'shuffle'")
     n, cache_dir, layout = csr.n, csr.cache_dir, csr.layout
     if layout != "src":
         raise ValueError("segment loop needs layout='src' (plus ring)")
@@ -178,6 +194,13 @@ def pagerank_csr_segments(
         los = sorted(set(csr.meta["lo"]))
         width = int(los[1] - los[0]) if len(los) > 1 else int(csr.meta["width"].max())
     ranges = _ranges(n, width)
+    if transport == "shuffle":
+        return _pagerank_segments_shuffle(
+            spark, csr, edges, width, ranges,
+            alpha=alpha, conv=conv, max_iter=max_iter,
+            checkpointer=checkpointer, checkpoint_every=checkpoint_every,
+            init_ranks=init_ranks, init_superstep=init_superstep,
+        )
     n_pids = len(ranges)
     n_dangling = build_aux_segments(spark, csr, edges, width, alpha)
 
@@ -331,3 +354,314 @@ def _read_ranks_df(
                 )
 
     return rng_df.mapInPandas(read_ranks, schema=f"{ID} long, {VAL} double")
+
+
+# --------------------------------------------------------------------------
+# transport='shuffle': shared-nothing segment exchange
+# --------------------------------------------------------------------------
+
+_STATE_SCHEMA = "pid int, pr binary, x binary, inv binary, mask binary"
+
+
+def _build_aux_df(
+    spark: SparkSession,
+    edges: DataFrame,
+    width: int,
+    alpha: float,
+    n: int,
+    ranges: list[tuple[int, int, int]],
+) -> DataFrame:
+    """Per-range aux columns as a P-row DataFrame: inv = α/outdeg (0
+    where dangling) + the dangling mask — the file-free twin of
+    :func:`build_aux_segments`."""
+    deg = (
+        edges.groupBy(F.col(SRC).alias(ID))
+        .agg(F.count("*").alias("deg"))
+        .withColumn("pid", (F.col(ID) / F.lit(width)).cast("int"))
+    )
+    seed = spark.createDataFrame(
+        [(p, -1, 0) for p, _, _ in ranges], f"pid int, {ID} long, deg long"
+    )
+
+    def make_aux(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        lo = pid * width
+        w = min(width, n - lo)
+        outdeg = np.zeros(w, dtype=np.float64)
+        real = pdf[pdf[ID] >= 0]
+        if len(real):
+            outdeg[real[ID].to_numpy(dtype=np.int64) - lo] = real["deg"].to_numpy()
+        mask = outdeg == 0.0
+        inv = np.where(mask, 0.0, alpha / np.where(mask, 1.0, outdeg))
+        return pd.DataFrame(
+            {
+                "pid": [pid],
+                "inv": [inv.tobytes()],
+                "mask": [mask.tobytes()],
+                "n_dangling": [int(mask.sum())],
+            }
+        )
+
+    return (
+        deg.select("pid", ID, "deg")
+        .unionByName(seed)
+        .groupBy("pid")
+        .applyInPandas(
+            make_aux, schema="pid int, inv binary, mask binary, n_dangling long"
+        )
+    )
+
+
+def _chunks_df(spark: SparkSession, csr: CsrBlocks, T: int) -> DataFrame:
+    """The built CSR chunks as a persisted DataFrame co-partitioned by
+    compute task: (tpid, gidx, pid, width, src, dstoff). Chunk files are
+    read ONCE (on the executors that can see them — the build-time
+    machines); every superstep thereafter serves from the executor
+    cache, spilling to executor-local disk under pressure."""
+    meta = csr.meta.reset_index(drop=True)
+    rows = spark.createDataFrame(
+        [
+            (int(i % T), int(i), int(r["pid"]), int(r["width"]), r["path"])
+            for i, r in meta.iterrows()
+        ],
+        "tpid int, gidx long, pid int, width int, path string",
+    )
+    src_dtype = csr.src_dtype
+
+    def read_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"tpid": [], "gidx": [], "pid": [], "width": [], "src": [], "dstoff": []}
+            for row in pdf.itertuples(index=False):
+                src = np.load(row.path + ".src.npy")
+                dstoff = np.load(row.path + ".dstoff.npy")
+                out["tpid"].append(row.tpid)
+                out["gidx"].append(row.gidx)
+                out["pid"].append(row.pid)
+                out["width"].append(row.width)
+                out["src"].append(src.astype(src_dtype).tobytes())
+                out["dstoff"].append(dstoff.astype(np.int32).tobytes())
+            yield pd.DataFrame(out)
+
+    return (
+        rows.mapInPandas(
+            read_chunks,
+            schema="tpid int, gidx long, pid int, width int, src binary, dstoff binary",
+        )
+        .repartition(T, "tpid")
+        .persist()
+    )
+
+
+def _state_ranks_df(state: DataFrame, width: int) -> DataFrame:
+    """Explode the P-row state into (id, val) — distributed, never
+    through the driver."""
+
+    def read_ranks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                pr = np.frombuffer(row.pr, dtype=np.float64)
+                lo = row.pid * width
+                yield pd.DataFrame(
+                    {ID: np.arange(lo, lo + len(pr)), VAL: pr}
+                )
+
+    return state.select("pid", "pr").mapInPandas(
+        read_ranks, schema=f"{ID} long, {VAL} double"
+    )
+
+
+def _pagerank_segments_shuffle(
+    spark: SparkSession,
+    csr: CsrBlocks,
+    edges: DataFrame,
+    width: int,
+    ranges: list[tuple[int, int, int]],
+    alpha: float,
+    conv: float,
+    max_iter: int,
+    checkpointer,
+    checkpoint_every: int,
+    init_ranks: DataFrame | None,
+    init_superstep: int,
+) -> SegPageRankResult:
+    """The shared-nothing engine (see module docstring): state is a
+    P-row binary-column DataFrame, the allgather is a keyed shuffle,
+    partials ⊕ in global-chunk-index order (deterministic; resume is
+    bit-for-bit)."""
+    n = csr.n
+    n_pids = len(ranges)
+    T = max(1, min(len(csr.meta), csr.n_partitions))
+    src_dtype = csr.src_dtype
+    aux = _build_aux_df(spark, edges, width, alpha, n, ranges)
+    chunks = _chunks_df(spark, csr, T)
+    task_ids = spark.createDataFrame([(t,) for t in range(T)], "tpid int")
+
+    start = init_superstep
+    if init_ranks is None:
+        def make_state0(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = {"pid": [], "pr": [], "x": [], "inv": [], "mask": []}
+                for row in pdf.itertuples(index=False):
+                    inv = np.frombuffer(row.inv, dtype=np.float64)
+                    pr0 = np.full(len(inv), 1.0 / n)
+                    out["pid"].append(row.pid)
+                    out["pr"].append(pr0.tobytes())
+                    out["x"].append((pr0 * inv).tobytes())
+                    out["inv"].append(row.inv)
+                    out["mask"].append(row.mask)
+                yield pd.DataFrame(out)
+
+        state = aux.mapInPandas(make_state0, schema=_STATE_SCHEMA)
+        state = state.localCheckpoint(eager=True)
+        dangling = (
+            float(aux.agg(F.sum("n_dangling")).collect()[0][0] or 0) / n
+        )
+    else:
+        def resume_state(key, rk: pd.DataFrame, ax: pd.DataFrame) -> pd.DataFrame:
+            pid = int(key[0])
+            lo = pid * width
+            inv = np.frombuffer(ax["inv"].iloc[0], dtype=np.float64)
+            mask = np.frombuffer(ax["mask"].iloc[0], dtype=np.bool_)
+            seg = np.zeros(len(inv), dtype=np.float64)
+            if len(rk):
+                seg[rk[ID].to_numpy(dtype=np.int64) - lo] = rk[VAL].to_numpy(
+                    dtype=np.float64
+                )
+            return pd.DataFrame(
+                {
+                    "pid": [pid],
+                    "pr": [seg.tobytes()],
+                    "x": [(seg * inv).tobytes()],
+                    "inv": [ax["inv"].iloc[0]],
+                    "mask": [ax["mask"].iloc[0]],
+                    "dangling": [float(seg[mask].sum())],
+                }
+            )
+
+        rk = init_ranks.select(
+            (F.col(ID) / F.lit(width)).cast("int").alias("pid"), ID, VAL
+        )
+        st = (
+            rk.groupBy("pid")
+            .cogroup(aux.groupBy("pid"))
+            .applyInPandas(resume_state, schema=_STATE_SCHEMA + ", dangling double")
+            .localCheckpoint(eager=True)
+        )
+        dangling = float(
+            st.agg(F.sum("dangling")).collect()[0][0] or 0.0
+        )
+        state = st.drop("dangling")
+
+    iters, residual, residuals = 0, float("inf"), []
+    while True:
+        d = (alpha * dangling + 1.0 - alpha) / n
+
+        # ---- allgather: replicate the P x-segments to each compute task
+        xrep = state.select("pid", "x").crossJoin(F.broadcast(task_ids))
+
+        _PART_SCHEMA = "pid int, gidx long, seg binary, inv binary, mask binary"
+
+        def compute(ch: pd.DataFrame, xp: pd.DataFrame) -> pd.DataFrame:
+            cols = ["pid", "gidx", "seg", "inv", "mask"]
+            if not len(ch):
+                return pd.DataFrame(
+                    {
+                        "pid": pd.Series([], dtype="int32"),
+                        "gidx": pd.Series([], dtype="int64"),
+                        "seg": pd.Series([], dtype=object),
+                        "inv": pd.Series([], dtype=object),
+                        "mask": pd.Series([], dtype=object),
+                    }
+                )
+            xp = xp.sort_values("pid")
+            xv = np.concatenate(
+                [np.frombuffer(b, dtype=np.float64) for b in xp["x"]]
+            )
+            out = {c: [] for c in cols}
+            for row in ch.itertuples(index=False):
+                src = np.frombuffer(row.src, dtype=src_dtype)
+                dstoff = np.frombuffer(row.dstoff, dtype=np.int32)
+                contrib = np.take(xv, src, out=_contrib_buf(len(src)), mode="clip")
+                seg = np.bincount(dstoff, weights=contrib, minlength=row.width)
+                out["pid"].append(row.pid)
+                out["gidx"].append(row.gidx)
+                out["seg"].append(seg.tobytes())
+                out["inv"].append(None)
+                out["mask"].append(None)
+            return pd.DataFrame(out)
+
+        partials = (
+            chunks.groupBy("tpid")
+            .cogroup(xrep.groupBy("tpid"))
+            .applyInPandas(compute, schema=_PART_SCHEMA)
+        )
+        # state joins the combine ADDITIVELY (union rows tagged gidx=-1),
+        # not through a second cogroup: localCheckpoint preserves origin
+        # statistics, and two multiplicative references to state per
+        # superstep square the plan-size estimate each round until
+        # Catalyst's BigInteger stats overflow (~25 supersteps in)
+        state_rows = state.select(
+            "pid",
+            F.lit(-1).cast("long").alias("gidx"),
+            F.col("pr").alias("seg"),
+            "inv",
+            "mask",
+        )
+
+        def combine(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            strow = pdf[pdf["gidx"] < 0].iloc[0]
+            inv = np.frombuffer(strow["inv"], dtype=np.float64)
+            mask = np.frombuffer(strow["mask"], dtype=np.bool_)
+            pr_old = np.frombuffer(strow["seg"], dtype=np.float64)
+            y = np.zeros(len(inv), dtype=np.float64)
+            # ⊕ in global-chunk-index order: deterministic across runs,
+            # partitionings, and resumes (bit-for-bit contract)
+            pt = pdf[pdf["gidx"] >= 0].sort_values("gidx")
+            for blob in pt["seg"]:
+                y += np.frombuffer(blob, dtype=np.float64)
+            pr_new = y + d
+            return pd.DataFrame(
+                {
+                    "pid": [int(key[0])],
+                    "pr": [pr_new.tobytes()],
+                    "x": [(pr_new * inv).tobytes()],
+                    "inv": [strow["inv"]],
+                    "mask": [strow["mask"]],
+                    "resid": [float(np.abs(pr_new - pr_old).sum())],
+                    "dangling": [float(pr_new[mask].sum())],
+                }
+            )
+
+        new_state = (
+            partials.unionByName(state_rows)
+            .groupBy("pid")
+            .applyInPandas(
+                combine, schema=_STATE_SCHEMA + ", resid double, dangling double"
+            )
+            .localCheckpoint(eager=True)  # ONE job: compute+combine
+        )
+        stats = (
+            new_state.select("pid", "resid", "dangling").toPandas()
+        )  # P rows off the checkpointed frame — the only driver traffic
+        state = new_state.drop("resid", "dangling")
+        residual = float(stats["resid"].sum())
+        dangling = float(stats["dangling"].sum())
+        residuals.append(residual)
+        iters += 1
+        if checkpointer is not None and (start + iters) % checkpoint_every == 0:
+            checkpointer.save(
+                _state_ranks_df(state, width),
+                superstep=start + iters,
+                metrics={"residual": residual, "dangling": dangling},
+            )
+        if (conv != 0.0 and residual <= conv) or start + iters >= max_iter:
+            break
+
+    chunks.unpersist()
+    return SegPageRankResult(
+        ranks=_state_ranks_df(state, width),
+        iterations=start + iters,
+        residual=residual,
+        residuals=residuals,
+        driver_rows_per_step=n_pids,
+    )

@@ -293,11 +293,24 @@ def pregel(
             active_ids = active_state.select(ID) if split else None
             ring = alg.Semiring(add=combiner, mul=alg.left_assign, one=True)
             # the out vector has out_nnz entries: broadcast-join when it
-            # fits, shuffle otherwise — the CRS/CCS direction choice
+            # fits, shuffle otherwise — the CRS/CCS direction choice.
+            # n_active is already counted on the driver: pass it through
+            # so a small-frontier round broadcasts the out-mask semi-join
+            # too and the edge table is never shuffled (the reference's
+            # counted-size emiim choice, reference/blas2.hpp:1063-1145)
             msgs = vxm(
                 out_vec, edges, ring, out_mask=active_ids,
                 strategy="auto", frontier_nnz=out_nnz,
+                out_mask_nnz=n_active if split else None,
             )
+            # NOTE: no broadcast hint on the msgs side of the state
+            # join — measured (round 4): forcing it regressed the
+            # iterative loop ~10× (the eager per-round broadcast build
+            # defeats the lazily-checkpointed steady state), while AQE
+            # already picks a broadcast join from runtime stats when
+            # profitable. The driver-informed hints live where they pay:
+            # the out-mask semi-join and the frontier join INSIDE vxm
+            # (out_mask_nnz / frontier_nnz above).
             cur = active_state.join(
                 msgs.select(ID, F.col(VAL).alias("_msg")), on=ID, how="left"
             ).withColumn(

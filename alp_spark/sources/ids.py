@@ -1,31 +1,74 @@
 """Contiguous vertex-id assignment url → [0, n).
 
 The reference Pregel constructor requires contiguous ids 0..n-1
-(interfaces/pregel.hpp:474-477). ``monotonically_increasing_id`` is NOT
-contiguous, and a global window (row_number over one partition) would
-serialise the whole dictionary through one task — wrong at 10^12 rows.
-``zipWithIndex`` computes per-partition offsets with one lightweight
-count job and no extra shuffle beyond the dedup: the scalable idiom.
+(interfaces/pregel.hpp:474-477). ``monotonically_increasing_id`` alone
+is NOT contiguous, and a global window (row_number over one partition)
+would serialise the whole dictionary through one task — wrong at 10^12
+rows. The scalable idiom is the distributed sort-rank: range-partition
+the deduped urls (partition p holds a contiguous url range, partitions
+ordered by pid), sort within partitions, then turn per-partition row
+numbers into global ranks by adding cumulative partition counts —
+zipWithIndex's two-job shape, but expressed entirely in DataFrame land
+so the dictionary never round-trips through RDD serialisation and the
+ingest slice stays whole-stage-codegen end-to-end:
+
+1. dedup + ``repartitionByRange(url)`` + in-partition sort, then ONE
+   projection computing ``spark_partition_id()`` and
+   ``monotonically_increasing_id()`` together, persisted so the stats
+   job and the final join read one materialised layout;
+2. P stats rows (count + min mid per partition) to the driver, cumsum
+   in pid order (= url order, because range partitions are ordered);
+3. broadcast-join the P-row offset table back:
+   ``id = offset[pid] + (mid - min_mid[pid])`` — the subtraction turns
+   the partition-local mid sequence into the 0-based row number, so no
+   assumption about mid's internal bit layout is needed.
+
+The resulting map is the global url-sort rank: deterministic across
+runs, partitionings, AND cluster sizes (range boundaries only decide
+which executor computes a rank, never the rank itself).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 
 def assign_contiguous_ids(urls: DataFrame, col: str = "url") -> DataFrame:
     """Distinct values of ``col`` → DataFrame (url, id) with ids exactly
-    0..n-1. Deterministic given a deterministic input ordering: we sort
-    within the dedup shuffle so the mapping is stable across runs."""
-    spark = urls.sparkSession
-    distinct = urls.select(col).distinct().repartition(F.col(col)).sortWithinPartitions(col)
-    schema = T.StructType(
-        [
-            T.StructField(col, distinct.schema[col].dataType, False),
-            T.StructField("id", T.LongType(), False),
-        ]
+    0..n-1 in ``col``-sorted order (the global sort rank)."""
+    distinct = (
+        urls.select(col)
+        .distinct()
+        .repartitionByRange(F.col(col))
+        .sortWithinPartitions(col)
+        .select(
+            col,
+            F.spark_partition_id().alias("_pid"),
+            F.monotonically_increasing_id().alias("_mid"),
+        )
+        # one physical layout for both the stats job and the final join;
+        # persist keeps the scan as an InMemoryTableScan of codegen'd
+        # rows — the url column never crosses into Python
+        .persist()
     )
-    indexed = distinct.rdd.map(lambda r: r[0]).zipWithIndex()
-    return spark.createDataFrame(indexed, schema)
+    stats = (
+        distinct.groupBy("_pid")
+        .agg(F.count("*").alias("_cnt"), F.min("_mid").alias("_mn"))
+        .collect()
+    )
+    offsets, running = [], 0
+    for r in sorted(stats, key=lambda r: r["_pid"]):
+        offsets.append((r["_pid"], running, r["_mn"]))
+        running += r["_cnt"]
+    spark = urls.sparkSession
+    off = spark.createDataFrame(
+        offsets, "_pid int, _off long, _mn long"
+    )
+    return (
+        distinct.join(F.broadcast(off), on="_pid")
+        .select(
+            col,
+            (F.col("_off") + (F.col("_mid") - F.col("_mn"))).alias("id"),
+        )
+    )

@@ -131,3 +131,24 @@ def test_hpcg_zero_rhs_graceful_exit(spark):
     res = hpcg(spark, system, zeros, max_iterations=5, tolerance=1e-9)
     assert res.iterations == 1  # NaN relative residual stops the loop
     assert res.residuals[0] == 0.0
+
+
+def test_hpcg_two_level_vcycle_matches_oracle(spark):
+    # VERDICT r3 item 6: exercise restrict/prolong across TWO coarsenings
+    # (16³ → 8³ → 4³) through the full preconditioned-CG driver.
+    sizes = (16, 16, 16)
+    n = 4096
+    rng = np.random.RandomState(23)
+    b = rng.uniform(-1, 1, n)
+    system = build_hpcg_system(spark, sizes, num_colors=3, max_levels=2)
+    assert system.coarser is not None and system.coarser.coarser is not None
+    assert system.coarser.coarser.coarser is None  # exactly 3 levels
+    res = hpcg(
+        spark, system, _vec_df(spark, b), max_iterations=2, tolerance=0.0
+    )
+    want_x, want_it, want_norm = hpcg_oracle(
+        sizes, b, num_colors=3, max_iterations=2, max_levels=2
+    )
+    assert res.iterations == want_it
+    np.testing.assert_allclose(_collect_x(res.x, n), want_x, rtol=1e-9, atol=1e-11)
+    np.testing.assert_allclose(res.norm_residual, want_norm, rtol=1e-9)

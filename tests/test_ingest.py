@@ -101,3 +101,23 @@ def test_bucketed_sink_joins_without_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
         spark.sql("DROP TABLE IF EXISTS t_edges_a")
         spark.sql("DROP TABLE IF EXISTS t_edges_b")
+
+
+def test_assign_contiguous_ids_stays_in_dataframe_land(spark, tmp_path):
+    # VERDICT r3 item 9: the id map must not round-trip through RDD
+    # serialisation — the plan reads the persisted dedup layout, not a
+    # python-built ExistingRDD of the url column.
+    path = str(tmp_path / "urls")
+    spark.createDataFrame(
+        [(f"http://h/{i % 7}",) for i in range(50)], "url string"
+    ).write.parquet(path)
+    m = assign_contiguous_ids(spark.read.parquet(path))
+    got = {r["url"]: r["id"] for r in m.collect()}
+    # global url-sort rank, contiguous from 0
+    assert got == {u: i for i, u in enumerate(sorted(got))}
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    # the dictionary side reads the cached codegen layout; only the
+    # P-row offset table (driver metadata, a broadcast variable in
+    # DataFrame form) is a local relation
+    assert "ExistingRDD[url" not in plan
+    assert "InMemoryTableScan" in plan

@@ -102,3 +102,30 @@ def test_sparse_nn_rejects_reference_illegal(spark):
         sparse_nn_single_inference(spark, xdf, L, [0.0], n)
     with pytest.raises(ValueError):  # 1-layer call is reference UB
         sparse_nn_single_inference(spark, xdf, L[:1], [0.0], n)
+
+
+def test_kpp_sample_cap_at_or_above_n_equals_exact(spark):
+    # VERDICT r3 item 3: with n <= sample_cap the input is untouched, so
+    # the sampled path is bit-for-bit the exact reference scan.
+    X = _blobs(n=30)
+    pts = _points_df(spark, X)
+    exact = kpp_initialisation(spark, pts, k=3, seed=11)
+    sampled = kpp_initialisation(spark, pts, k=3, seed=11, sample_cap=30)
+    assert sampled == exact
+    roomy = kpp_initialisation(spark, pts, k=3, seed=11, sample_cap=10_000)
+    assert roomy == exact
+
+
+def test_kpp_sample_cap_below_n_seeds_from_sample(spark):
+    # the capped scan must still pick k distinct real data points and be
+    # deterministic run-to-run; downstream Lloyd converges normally
+    X = _blobs(n=60, k=3, seed=9)
+    pts = _points_df(spark, X)
+    a = kpp_initialisation(spark, pts, k=3, seed=7, sample_cap=20)
+    b = kpp_initialisation(spark, pts, k=3, seed=7, sample_cap=20)
+    assert a == b  # deterministic
+    rows = {tuple(x) for x in X}
+    assert all(tuple(c) in rows for c in a)  # real points
+    assert len({tuple(c) for c in a}) == 3  # distinct seeds
+    res = kmeans(spark, pts, k=3, seed=7, kpp_sample_cap=20, max_iter=50)
+    assert res.converged

