@@ -778,6 +778,44 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_tbl(spark, sf_dir, "events"), gap_minutes=SESSION_GAP_MIN)
 
 
+def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME gap sessionization as a stateful Structured Streaming
+    job: file source -> applyInPandasWithState per-user fold ->
+    AvailableNow drain into a memory sink. A drained run emits every
+    CLOSED session; each user's final session stays open in state, so
+    the oracle is the batch sessionize result minus each user's last
+    session (QUALIFY on max session_id per user)."""
+    import hashlib
+    import os
+    import tempfile
+
+    from alp_spark.pipeline import streaming_sessionize
+    from alp_spark.streaming import run_to_memory, stream_events
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"alp_stream_events_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(f"{sf_dir}/events.parquet", link)
+    ev = stream_events(spark, d).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = run_to_memory(
+        streaming_sessionize(ev, gap_minutes=SESSION_GAP_MIN),
+        spark,
+        "q_sessionize_stream",
+    )
+    return out.select(
+        "user_id",
+        "session_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
+
+
 def q_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 embedding quantization (the 4× storage path for a
     100 TB float32 embedding column), flattened to scalar rows for the
@@ -877,6 +915,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sssp": q_sssp,
         "quantize": q_quantize,
         "sessionize": q_sessionize,
+        "sessionize_stream": q_sessionize_stream,
     }
 
 
@@ -1758,6 +1797,39 @@ SELECT doc_id,
 FROM h"""
 
 
+def _sessionize_sql(closed_only: bool = False) -> str:
+    """The gap-sessionization oracle (mirrors pipeline.sessionize);
+    ``closed_only`` drops each user's LAST session — the open one a
+    drained streaming run keeps in state."""
+    tail = (
+        "QUALIFY session_id < max(session_id) OVER (PARTITION BY user_id)"
+        if closed_only
+        else ""
+    )
+    return f"""WITH o AS (
+  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev
+  FROM events
+),
+f AS (
+  SELECT *, CASE WHEN prev IS NULL
+                   OR us - prev > {SESSION_GAP_MIN * 60 * 1_000_000}
+                 THEN 1 ELSE 0 END AS is_new
+  FROM o
+),
+s AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
+  FROM f
+)
+SELECT user_id, session_id, min(ts) AS session_start,
+       max(ts) AS session_end, count(*)::BIGINT AS n_events,
+       round(sum(value), 6) AS total_value
+FROM s GROUP BY user_id, session_id
+{tail}"""
+
+
 def oracle_sql() -> dict[str, str]:
     from alp_spark.pipeline.text import STOPWORDS
 
@@ -1852,27 +1924,10 @@ SELECT id, true AS reached FROM hop2""",
         "hpcg": _hpcg_sql(),
         "hpcg2": _hpcg2_sql(),
         "sssp": _sssp_sql(),
-        "sessionize": f"""WITH o AS (
-  SELECT user_id, event_id, ts, value, epoch_us(ts) AS us,
-         lag(epoch_us(ts)) OVER (PARTITION BY user_id
-                                 ORDER BY ts, event_id) AS prev
-  FROM events
-),
-f AS (
-  SELECT *, CASE WHEN prev IS NULL
-                   OR us - prev > {SESSION_GAP_MIN * 60 * 1_000_000}
-                 THEN 1 ELSE 0 END AS is_new
-  FROM o
-),
-s AS (
-  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
-  FROM f
-)
-SELECT user_id, session_id, min(ts) AS session_start,
-       max(ts) AS session_end, count(*)::BIGINT AS n_events,
-       round(sum(value), 6) AS total_value
-FROM s GROUP BY user_id, session_id""",
+        "sessionize": _sessionize_sql(),
+        # a drained streaming run emits every CLOSED session; each
+        # user's last session is still open in state
+        "sessionize_stream": _sessionize_sql(closed_only=True),
         "quantize": f"""WITH e AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ),
