@@ -778,6 +778,58 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(_tbl(spark, sf_dir, "events"), gap_minutes=SESSION_GAP_MIN)
 
 
+def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance of the embedding corpus from ONE
+    distributed moment pass (pipeline/pca.py: per-batch Gram partials,
+    map-side-combined, O(d²) driver traffic — the allreduce shape of
+    base/collectives.hpp:121). The d×d reduction happens on the driver
+    like the reference's own O(d³) steps (kmeans.hpp:158-161); oracle:
+    DuckDB covar_samp over the exploded embedding positions."""
+    import numpy as np
+
+    from alp_spark.pipeline import embedding_moments
+
+    cells = embedding_moments(_tbl(spark, sf_dir, "embeddings")).collect()
+    n, sums = 0, {}
+    for r in cells:
+        if r["i"] == -1:
+            n = int(r["s"])
+        else:
+            sums[(r["i"], r["j"])] = r["s"]
+    d = EMB_DIM
+    mean = np.array([sums[(i, -1)] for i in range(d)]) / n
+    rows = []
+    for i in range(d):
+        for j in range(i, d):
+            cov = (sums[(i, j)] - n * mean[i] * mean[j]) / (n - 1)
+            rows.append((i, j, round(float(cov), 6)))
+    return spark.createDataFrame(rows, "i long, j long, cov double")
+
+
+SAMPLE_FRACS = {"en": 0.5, "de": 0.2, "fr": 0.8}  # zh/es fall to default 0.1
+SAMPLE_DEFAULT = 0.1
+VAL_FRAC = 0.25
+
+
+def q_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sample of the documents
+    table + stable train/val tagging (pipeline/sampling.py): membership
+    is a pure function of (doc_id, salt) via md5, so the sample and the
+    split survive repartitioning, resume, and corpus growth — and the
+    oracle replays the identical arithmetic in DuckDB (md5 is
+    byte-identical across engines; no RNG to mirror)."""
+    from alp_spark.pipeline import sample_stratified, train_val_split
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id", "lang")
+    sampled = sample_stratified(
+        docs, SAMPLE_FRACS, stratum="lang", key="doc_id",
+        default_fraction=SAMPLE_DEFAULT,
+    )
+    return train_val_split(sampled, VAL_FRAC, key="doc_id").select(
+        "doc_id", "lang", "split"
+    )
+
+
 def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME gap sessionization as a stateful Structured Streaming
     job: file source -> applyInPandasWithState per-user fold ->
@@ -916,6 +968,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize": q_quantize,
         "sessionize": q_sessionize,
         "sessionize_stream": q_sessionize_stream,
+        "sample_split": q_sample_split,
+        "embed_covariance": q_embed_covariance,
     }
 
 
@@ -1928,6 +1982,26 @@ SELECT id, true AS reached FROM hop2""",
         # a drained streaming run emits every CLOSED session; each
         # user's last session is still open in state
         "sessionize_stream": _sessionize_sql(closed_only=True),
+        "embed_covariance": f"""WITH e AS (
+  SELECT vec_id, t.p::BIGINT - 1 AS pos, embedding[t.p::INT]::DOUBLE AS val
+  FROM embeddings CROSS JOIN range(1, {EMB_DIM + 1}) t(p)
+)
+SELECT a.pos AS i, b.pos AS j, round(covar_samp(a.val, b.val), 6) AS cov
+FROM e a JOIN e b USING (vec_id)
+WHERE a.pos <= b.pos
+GROUP BY a.pos, b.pos""",
+        "sample_split": f"""WITH u AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'stratified'), 1, 16))::UBIGINT
+           / 18446744073709551616.0 AS us,
+         ('0x' || substr(md5(doc_id::VARCHAR || 'split'), 1, 16))::UBIGINT
+           / 18446744073709551616.0 AS uv
+  FROM documents
+)
+SELECT doc_id, lang,
+       CASE WHEN uv < {VAL_FRAC} THEN 'val' ELSE 'train' END AS split
+FROM u
+WHERE us < CASE lang WHEN 'de' THEN 0.2 WHEN 'en' THEN 0.5 WHEN 'fr' THEN 0.8 ELSE 0.1 END""",
         "quantize": f"""WITH e AS (
   SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
 ),

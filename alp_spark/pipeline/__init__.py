@@ -38,3 +38,14 @@ from .similarity import (  # noqa: F401
     srp_candidate_pairs,
     srp_planes,
 )
+from .sampling import (  # noqa: F401
+    sample_fraction,
+    sample_stratified,
+    train_val_split,
+)
+from .pca import (  # noqa: F401
+    PcaModel,
+    embedding_moments,
+    fit_pca,
+    transform_pca,
+)

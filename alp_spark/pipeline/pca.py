@@ -1,0 +1,157 @@
+"""Distributed PCA / whitening for embedding columns.
+
+The standard two-phase shape for d ≪ N (the only regime that matters
+for a 100 TB embedding corpus: N up to 10¹², d a few hundred to a few
+thousand):
+
+1. **Distributed moment pass** — each Arrow batch reduces to its local
+   Gram matrix Σ vvᵀ, sum vector Σ v, and count (``mapInPandas``,
+   vectorized ``V.T @ V``); the d² + d + 1 partial cells combine under
+   one map-side-combinable groupBy. Driver traffic is O(d²), never
+   O(N) — the DataFrame form of ALP's ``collectives::allreduce``
+   (base/collectives.hpp:121), and the same partial-then-final shape
+   kmeans' centroid update uses (kmeans.py).
+2. **Driver-side eigendecomposition** — the d×d covariance is tiny;
+   ``numpy.linalg.eigh`` on the driver, exactly how the reference runs
+   its own O(d³) steps single-process (kmeans.hpp:158-161). Eigenvector
+   SIGN is canonicalized (largest-|component| coordinate made
+   positive) so results are deterministic across LAPACK builds.
+3. **Projection / whitening** — the k selected components ride the
+   plan as k·d literals (the same literal-broadcast device as kmeans'
+   centroid argmin and IVF's probe, similarity.py): output dim j is a
+   ``zip_with``/``aggregate`` fold of (v - mean)·Wⱼ, a pure Column
+   expression — no UDF, no shuffle, whole-stage codegen end-to-end.
+
+Whitening (``whiten=True``) scales each projected coordinate by
+1/√(λⱼ + eps): the classic conditioning step before int8 quantization
+(:func:`alp_spark.pipeline.quantize_embeddings`) or cosine ANN.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class PcaModel:
+    mean: list  # d
+    components: list  # k × d (rows = eigenvectors, λ-descending)
+    eigenvalues: list  # k (of the COVARIANCE, λ-descending)
+    n: int
+
+
+def embedding_moments(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(i, j, s) partial-summed Gram/mean cells: j == -1 rows carry
+    Σ v[i]; the (-1, -1) row carries the count; i, j ≥ 0 carry
+    Σ v[i]·v[j] (upper triangle only — the Gram matrix is symmetric).
+    One groupBy over ≤ (d²+3d+2)/2 keys; partials combine map-side."""
+
+    def gram(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]
+            )
+            G = V.T @ V
+            sv = V.sum(axis=0)
+            d = V.shape[1]
+            iu = np.triu_indices(d)
+            ii = np.concatenate([iu[0], np.arange(d), [-1]])
+            jj = np.concatenate([iu[1], np.full(d, -1), [-1]])
+            ss = np.concatenate([G[iu], sv, [float(len(V))]])
+            yield pd.DataFrame({"i": ii, "j": jj, "s": ss})
+
+    return (
+        emb.select(vec_col)
+        .mapInPandas(gram, schema="i int, j int, s double")
+        .groupBy("i", "j")
+        .agg(F.sum("s").alias("s"))
+    )
+
+
+def fit_pca(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PcaModel:
+    """Covariance eigendecomposition from one distributed moment pass;
+    O(d²) driver traffic, O(d³) driver compute."""
+    cells = embedding_moments(emb, id_col, vec_col).collect()
+    n = 0
+    sums: dict = {}
+    for r in cells:
+        if r["i"] == -1:
+            n = int(r["s"])
+        else:
+            sums[(r["i"], r["j"])] = r["s"]
+    if n < 2:
+        raise ValueError("need at least 2 vectors to fit a covariance")
+    d = max(i for i, _ in sums) + 1
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}]")
+    mean = np.array([sums[(i, -1)] for i in range(d)]) / n
+    G = np.zeros((d, d))
+    for (i, j), s in sums.items():
+        if j >= 0:
+            G[i, j] = s
+            G[j, i] = s
+    # unbiased covariance: (Σvvᵀ - n·meanmeanᵀ) / (n-1)
+    C = (G - n * np.outer(mean, mean)) / (n - 1)
+    lam, vec = np.linalg.eigh(C)  # ascending
+    order = np.argsort(lam)[::-1][:k]
+    comps = []
+    for idx in order:
+        w = vec[:, idx]
+        # sign canonicalization: the largest-|w| coordinate is positive
+        pivot = int(np.argmax(np.abs(w)))
+        if w[pivot] < 0:
+            w = -w
+        comps.append(w.tolist())
+    return PcaModel(
+        mean=mean.tolist(),
+        components=comps,
+        eigenvalues=[float(lam[i]) for i in order],
+        n=n,
+    )
+
+
+def transform_pca(
+    emb: DataFrame,
+    model: PcaModel,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    whiten: bool = False,
+    eps: float = 1e-9,
+    out_col: str = "pca",
+) -> DataFrame:
+    """Project (and optionally whiten) every embedding onto the model's
+    components — k pure-Column fold expressions over literal weights;
+    no UDF, no shuffle."""
+    mean_arr = F.array(*[F.lit(float(m)) for m in model.mean])
+    centered = F.zip_with(
+        F.col(vec_col).cast("array<double>"), mean_arr, lambda x, m: x - m
+    )
+    outs = []
+    for j, w in enumerate(model.components):
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        proj = F.aggregate(
+            F.zip_with(centered, warr, lambda x, ww: x * ww),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        if whiten:
+            proj = proj / F.lit(float(np.sqrt(model.eigenvalues[j] + eps)))
+        outs.append(proj.alias(f"_p{j}"))
+    return emb.select(F.col(id_col), *outs).select(
+        id_col, F.array(*[F.col(f"_p{j}") for j in range(len(outs))]).alias(out_col)
+    )

@@ -446,3 +446,160 @@ def test_compressed_codec_absent_pyav_message():
 
     with pytest.raises(NotImplementedError, match="requires PyAV"):
         _real_decode(b"\x00\x00\x00\x20ftypisom", n=8)
+
+
+def test_deterministic_sampling_matches_hashlib_and_partitioning(spark):
+    # membership is a pure function of (key, salt): exact vs a Python
+    # md5 oracle, and invariant under repartitioning
+    import hashlib
+
+    from alp_spark.pipeline.sampling import sample_fraction
+
+    rows = [(i, f"t{i}") for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def u(key, salt):
+        h = hashlib.md5((str(key) + salt).encode()).hexdigest()
+        return int(h[:16], 16) / 2**64
+
+    want = {i for i, _ in rows if u(i, "sample") < 0.3}
+    got = {
+        r["doc_id"]
+        for r in sample_fraction(df, 0.3, key="doc_id").collect()
+    }
+    assert got == want
+    got_repart = {
+        r["doc_id"]
+        for r in sample_fraction(
+            df.repartition(7, "text"), 0.3, key="doc_id"
+        ).collect()
+    }
+    assert got_repart == want
+    # plausible fraction, and a different salt gives a different sample
+    assert 0.2 < len(want) / 500 < 0.4
+    other = {
+        r["doc_id"]
+        for r in sample_fraction(df, 0.3, key="doc_id", salt="other").collect()
+    }
+    assert other != want
+
+
+def test_train_val_split_stable_under_growth(spark):
+    # old rows keep their split when the corpus grows — no leakage
+    from alp_spark.pipeline.sampling import train_val_split
+
+    small = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    big = spark.createDataFrame(
+        [(i,) for i in range(400)], "doc_id long"
+    )
+    s1 = {
+        r["doc_id"]: r["split"]
+        for r in train_val_split(small, 0.2, key="doc_id").collect()
+    }
+    s2 = {
+        r["doc_id"]: r["split"]
+        for r in train_val_split(big, 0.2, key="doc_id").collect()
+    }
+    assert all(s2[k] == v for k, v in s1.items())
+    assert set(s1.values()) == {"train", "val"}
+
+
+def test_stratified_sampling_respects_per_stratum_fractions(spark):
+    from alp_spark.pipeline.sampling import sample_stratified
+
+    rows = [(i, "en" if i % 3 else "de") for i in range(900)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    out = sample_stratified(
+        df, {"en": 0.5, "de": 0.05}, stratum="lang", key="doc_id"
+    ).collect()
+    en = sum(1 for r in out if r["lang"] == "en")
+    de = sum(1 for r in out if r["lang"] == "de")
+    n_en = sum(1 for _, l in rows if l == "en")
+    n_de = len(rows) - n_en
+    assert abs(en / n_en - 0.5) < 0.1
+    assert de / n_de < 0.15
+    # unlisted strata fall back to default_fraction=0
+    out2 = sample_stratified(
+        df, {"en": 1.0}, stratum="lang", key="doc_id"
+    ).collect()
+    assert all(r["lang"] == "en" for r in out2)
+    with pytest.raises(ValueError):
+        sample_stratified(df, {"en": 1.5}, stratum="lang", key="doc_id")
+
+
+def _emb_fixture(spark, n=80, d=6, seed=31):
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    # anisotropic cloud: PCA has a well-separated spectrum
+    A = rng.standard_normal((d, d))
+    X = rng.standard_normal((n, d)) @ A + rng.uniform(-2, 2, d)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    return X, df
+
+
+def test_pca_moments_and_fit_match_numpy(spark):
+    import numpy as np
+
+    from alp_spark.pipeline import fit_pca
+
+    X, df = _emb_fixture(spark)
+    model = fit_pca(df, k=4)
+    np.testing.assert_allclose(model.mean, X.mean(axis=0), rtol=1e-10)
+    C = np.cov(X, rowvar=False)
+    lam, vec = np.linalg.eigh(C)
+    order = np.argsort(lam)[::-1][:4]
+    np.testing.assert_allclose(
+        model.eigenvalues, lam[order], rtol=1e-9
+    )
+    for wj, idx in zip(model.components, order):
+        w = vec[:, idx]
+        pivot = int(np.argmax(np.abs(w)))
+        if w[pivot] < 0:
+            w = -w
+        np.testing.assert_allclose(wj, w, atol=1e-9)
+
+
+def test_pca_transform_and_whiten(spark):
+    import numpy as np
+
+    from alp_spark.pipeline import fit_pca, transform_pca
+
+    X, df = _emb_fixture(spark)
+    model = fit_pca(df, k=3)
+    out = {
+        r["vec_id"]: r["pca"]
+        for r in transform_pca(df, model).collect()
+    }
+    W = np.array(model.components).T  # d × k
+    want = (X - X.mean(axis=0)) @ W
+    got = np.array([out[i] for i in range(len(X))])
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    # whitened projections have ~unit variance per component
+    wout = {
+        r["vec_id"]: r["pca"]
+        for r in transform_pca(df, model, whiten=True).collect()
+    }
+    G = np.array([wout[i] for i in range(len(X))])
+    np.testing.assert_allclose(G.var(axis=0, ddof=1), 1.0, rtol=1e-6)
+    # plan hygiene: pure Column projection — no Python eval in the plan
+    plan = transform_pca(df, model)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Arrow" not in plan.replace("ArrowEvalPython", "Python")
+
+
+def test_pca_rejects_degenerate_inputs(spark):
+    from alp_spark.pipeline import fit_pca
+
+    one = spark.createDataFrame(
+        [(0, [1.0, 2.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError):
+        fit_pca(one, k=1)
+    _, df = _emb_fixture(spark, n=10, d=3)
+    with pytest.raises(ValueError):
+        fit_pca(df, k=9)
