@@ -70,14 +70,24 @@ def kcore_decomposition(
         stats = state.agg(
             F.sum(peels.cast("long")).alias("n_peel"),
             F.sum(F.col("alive").cast("long")).alias("n_alive"),
+            F.min(F.when(F.col("alive") & ~peels, F.col("deg"))).alias(
+                "next_deg"
+            ),
         ).collect()[0]
         n_alive = int(stats["n_alive"] or 0)
         n_peel = int(stats["n_peel"] or 0)
         if n_alive == 0:
             break
         if n_peel == 0:
-            k += 1
-            continue
+            # level jump: no alive vertex has deg ≤ k, so the next level
+            # that peels anything is exactly the minimum alive degree —
+            # peel there immediately instead of burning one stats job
+            # per empty level (a deep-coreness hub graph has hundreds).
+            # n_peel is only the broadcast-choice input below; n_alive
+            # upper-bounds it conservatively.
+            k = int(stats["next_deg"])
+            peels = F.col("alive") & (F.col("deg") <= k)
+            n_peel = n_alive
         if max_rounds and rounds > max_rounds:
             break
 
