@@ -507,29 +507,41 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_stream_dir(sf_dir: str, table: str = "events") -> str:
+    """Expose one read-only parquet file through a per-sf_dir symlink
+    directory (the streaming file source wants a DIRECTORY). Handles
+    dangling links after fixture regeneration and the exists/symlink
+    TOCTOU of concurrent harness runs."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    d = os.path.join(tempfile.gettempdir(), f"alp_stream_{table}_{tag}")
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, f"{table}.parquet")
+    target = f"{sf_dir}/{table}.parquet"
+    if os.path.islink(link) and not os.path.exists(link):
+        os.unlink(link)  # dangling: fixture was regenerated
+    try:
+        os.symlink(target, link)
+    except FileExistsError:
+        pass
+    return d
+
+
 def q_events_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME hourly aggregation as a Structured Streaming job: file
     source -> watermark -> tumbling window -> AvailableNow drain into a
     memory sink. Shares events_hourly's DuckDB oracle — the streaming
     plan must converge to the batch answer over the same input."""
-    import hashlib
-    import os
-    import tempfile
-
     from alp_spark.streaming import (
         hourly_event_counts,
         run_to_memory,
         stream_events,
     )
 
-    # the streaming file source wants a DIRECTORY; expose the single
-    # parquet file through a symlink dir (testdata is read-only)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"alp_stream_events_{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    d = _stage_stream_dir(sf_dir)
     ev = stream_events(spark, d).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )
@@ -785,24 +797,16 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     base/collectives.hpp:121). The d×d reduction happens on the driver
     like the reference's own O(d³) steps (kmeans.hpp:158-161); oracle:
     DuckDB covar_samp over the exploded embedding positions."""
-    import numpy as np
-
     from alp_spark.pipeline import embedding_moments
+    from alp_spark.pipeline.pca import moments_to_covariance
 
     cells = embedding_moments(_tbl(spark, sf_dir, "embeddings")).collect()
-    n, sums = 0, {}
-    for r in cells:
-        if r["i"] == -1:
-            n = int(r["s"])
-        else:
-            sums[(r["i"], r["j"])] = r["s"]
-    d = EMB_DIM
-    mean = np.array([sums[(i, -1)] for i in range(d)]) / n
-    rows = []
-    for i in range(d):
-        for j in range(i, d):
-            cov = (sums[(i, j)] - n * mean[i] * mean[j]) / (n - 1)
-            rows.append((i, j, round(float(cov), 6)))
+    _, _, C = moments_to_covariance(cells)  # guards n >= 2
+    rows = [
+        (i, j, round(float(C[i, j]), 6))
+        for i in range(EMB_DIM)
+        for j in range(i, EMB_DIM)
+    ]
     return spark.createDataFrame(rows, "i long, j long, cov double")
 
 
@@ -837,19 +841,10 @@ def q_sessionize_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     CLOSED session; each user's final session stays open in state, so
     the oracle is the batch sessionize result minus each user's last
     session (QUALIFY on max session_id per user)."""
-    import hashlib
-    import os
-    import tempfile
-
     from alp_spark.pipeline import streaming_sessionize
     from alp_spark.streaming import run_to_memory, stream_events
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    d = os.path.join(tempfile.gettempdir(), f"alp_stream_events_{tag}")
-    os.makedirs(d, exist_ok=True)
-    link = os.path.join(d, "events.parquet")
-    if not os.path.exists(link):
-        os.symlink(f"{sf_dir}/events.parquet", link)
+    d = _stage_stream_dir(sf_dir)
     ev = stream_events(spark, d).withColumn(
         "ts", F.col("ts").cast("timestamp")
     )

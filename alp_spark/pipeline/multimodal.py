@@ -169,15 +169,20 @@ def _decode_av(av, payload: bytes) -> np.ndarray:
         stream = container.streams[0]
         chunks = []
         for frame in container.decode(stream):
-            arr = frame.to_ndarray()
             if stream.type == "video":
-                # luma plane / RGB mean, matching _decode_netpbm
-                if arr.ndim == 3:
-                    arr = arr.mean(axis=-1)
+                # request the luma plane explicitly: yuv420p's raw
+                # to_ndarray is (h·3/2, w) with chroma planes appended,
+                # which must NOT leak into the intensity vector
+                arr = frame.to_ndarray(format="gray")
                 chunks.append(arr.ravel().astype(np.float32) / 256.0)
             else:
-                a = arr.astype(np.float32).ravel()
-                chunks.append((a - a.min()) / max(float(a.ptp()), 1.0))
+                a = frame.to_ndarray().astype(np.float32).ravel()
+                # min-max to [0, 1) — strict, matching the sibling
+                # decoders' contract; np.ptp (the function, not the
+                # NumPy-2.0-removed ndarray method)
+                span = float(np.ptp(a)) if len(a) else 0.0
+                denom = max(span, 1.0) * (1.0 + 1e-6)
+                chunks.append((a - (a.min() if len(a) else 0.0)) / denom)
     return np.concatenate(chunks) if chunks else np.zeros(0, dtype=np.float32)
 
 

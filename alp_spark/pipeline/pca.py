@@ -78,15 +78,11 @@ def embedding_moments(
     )
 
 
-def fit_pca(
-    emb: DataFrame,
-    k: int,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> PcaModel:
-    """Covariance eigendecomposition from one distributed moment pass;
-    O(d²) driver traffic, O(d³) driver compute."""
-    cells = embedding_moments(emb, id_col, vec_col).collect()
+def moments_to_covariance(cells) -> tuple[int, np.ndarray, np.ndarray]:
+    """(n, mean, C) from collected :func:`embedding_moments` rows —
+    the one shared parse of the allreduce cells (the driver query and
+    :func:`fit_pca` must not drift apart). Raises on n < 2, where the
+    unbiased divisor is 0 or the mean undefined."""
     n = 0
     sums: dict = {}
     for r in cells:
@@ -97,8 +93,6 @@ def fit_pca(
     if n < 2:
         raise ValueError("need at least 2 vectors to fit a covariance")
     d = max(i for i, _ in sums) + 1
-    if not 1 <= k <= d:
-        raise ValueError(f"k must be in [1, {d}]")
     mean = np.array([sums[(i, -1)] for i in range(d)]) / n
     G = np.zeros((d, d))
     for (i, j), s in sums.items():
@@ -107,6 +101,22 @@ def fit_pca(
             G[j, i] = s
     # unbiased covariance: (Σvvᵀ - n·meanmeanᵀ) / (n-1)
     C = (G - n * np.outer(mean, mean)) / (n - 1)
+    return n, mean, C
+
+
+def fit_pca(
+    emb: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> PcaModel:
+    """Covariance eigendecomposition from one distributed moment pass;
+    O(d²) driver traffic, O(d³) driver compute."""
+    cells = embedding_moments(emb, id_col, vec_col).collect()
+    n, mean, C = moments_to_covariance(cells)
+    d = len(mean)
+    if not 1 <= k <= d:
+        raise ValueError(f"k must be in [1, {d}]")
     lam, vec = np.linalg.eigh(C)  # ascending
     order = np.argsort(lam)[::-1][:k]
     comps = []

@@ -105,10 +105,33 @@ def streaming_sessionize(
                 st, en, cnt, tot, sid = state.get
                 if st is not None:
                     out.append((user_id, sid, st, en, cnt, round(tot, 6)))
-                # Keep the sid counter (st=None ⇒ no open session) so
-                # the user's next session numbers monotonically instead
-                # of restarting at 1 (ADVICE r3).
-                state.update((None, None, 0, 0.0, sid))
+                    # Keep the sid counter one more timeout window
+                    # (st=None ⇒ no open session) so a user returning
+                    # soon numbers monotonically instead of restarting
+                    # at 1 (ADVICE r3) — and re-arm the timer so the
+                    # tombstone is EVICTED on the next fire: without
+                    # that second removal the state store would grow
+                    # one immortal row per user ever seen.
+                    state.update((None, None, 0, 0.0, sid))
+                    if timeout_minutes is not None:
+                        state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+                    else:
+                        # must exceed the CURRENT watermark (a late
+                        # first fire may already be past en + 2·gap)
+                        state.setTimeoutTimestamp(
+                            max(
+                                (en + 2 * gap_us) // 1000,
+                                state.getCurrentWatermarkMs()
+                                + gap_us // 1000,
+                            )
+                            + 1
+                        )
+                else:
+                    # second fire on an idle tombstone: evict. A user
+                    # returning after this restarts at session_id 1 —
+                    # the documented counter-retention bound (one extra
+                    # timeout window), the price of bounded state.
+                    state.remove()
         else:
             rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
             if state.exists:

@@ -500,7 +500,8 @@ def _pagerank_segments_shuffle(
     if init_ranks is None:
         def make_state0(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
-                out = {"pid": [], "pr": [], "x": [], "inv": [], "mask": []}
+                out = {"pid": [], "pr": [], "x": [], "inv": [], "mask": [],
+                       "dangling": []}
                 for row in pdf.itertuples(index=False):
                     inv = np.frombuffer(row.inv, dtype=np.float64)
                     pr0 = np.full(len(inv), 1.0 / n)
@@ -509,13 +510,18 @@ def _pagerank_segments_shuffle(
                     out["x"].append((pr0 * inv).tobytes())
                     out["inv"].append(row.inv)
                     out["mask"].append(row.mask)
+                    out["dangling"].append(float(row.n_dangling) / n)
                 yield pd.DataFrame(out)
 
-        state = aux.mapInPandas(make_state0, schema=_STATE_SCHEMA)
-        state = state.localCheckpoint(eager=True)
-        dangling = (
-            float(aux.agg(F.sum("n_dangling")).collect()[0][0] or 0) / n
-        )
+        # n_dangling rides INTO the checkpointed state (as in the
+        # resume path) so the round-0 scalar comes off the checkpointed
+        # P rows — not a second full degree-aggregation scan of the
+        # edge table through the un-persisted aux plan
+        st = aux.mapInPandas(
+            make_state0, schema=_STATE_SCHEMA + ", dangling double"
+        ).localCheckpoint(eager=True)
+        dangling = float(st.agg(F.sum("dangling")).collect()[0][0] or 0.0)
+        state = st.drop("dangling")
     else:
         def resume_state(key, rk: pd.DataFrame, ax: pd.DataFrame) -> pd.DataFrame:
             pid = int(key[0])

@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 
 def assign_contiguous_ids(urls: DataFrame, col: str = "url") -> DataFrame:
     """Distinct values of ``col`` → DataFrame (url, id) with ids exactly
-    0..n-1 in ``col``-sorted order (the global sort rank)."""
+    0..n-1 in ``col``-sorted order (the global sort rank).
+
+    The returned map is persisted (callers join against it repeatedly;
+    ``unpersist()`` it when done); the wider build-time intermediate is
+    released before returning, so only the 2-column product stays
+    cached."""
     distinct = (
         urls.select(col)
         .distinct()
@@ -65,10 +70,14 @@ def assign_contiguous_ids(urls: DataFrame, col: str = "url") -> DataFrame:
     off = spark.createDataFrame(
         offsets, "_pid int, _off long, _mn long"
     )
-    return (
+    result = (
         distinct.join(F.broadcast(off), on="_pid")
         .select(
             col,
             (F.col("_off") + (F.col("_mid") - F.col("_mn"))).alias("id"),
         )
+        .persist()
     )
+    result.count()  # materialize before dropping the build-time cache
+    distinct.unpersist()
+    return result
