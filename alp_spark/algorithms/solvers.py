@@ -323,6 +323,7 @@ def conjugate_gradient_complex(
     n: int,
     tol: float = 1e-5,
     max_iterations: int = 1000,
+    x0: complex = 0j,
 ) -> ComplexSolveResult:
     """CG over ℂ (conjugate_gradient.hpp:159-426 with the is_complex
     conjugations at :303/:317/:348/:382): every dot is the Hermitian
@@ -330,30 +331,48 @@ def conjugate_gradient_complex(
     scalar (re+im aggregates fused into ONE action per dot); vectors are
     (re, im) double column pairs — the struct-typed analog of the
     reference's std::complex IOType. Residual convention: sqrt|r̄·r| <
-    tol·sqrt|b̄·b|."""
+    tol·sqrt|b̄·b|. ``x0`` is a constant initial guess (the smoke test
+    starts at 1/n, tests/smoke/conjugate_gradient.cpp:138); r0 = b - A·x0
+    via one up-front SpMV when x0 ≠ 0."""
     if tol <= 0:
         raise ValueError("tol must be positive (reference ILLEGAL)")
 
     ids = spark.range(n).select(F.col("id").alias(ID))
-    st = (
-        ids.join(b.select(ID, F.col("re").alias("_br"), F.col("im").alias("_bi")),
-                 on=ID, how="left")
-        .select(
-            ID,
-            F.lit(0.0).alias("x_re"), F.lit(0.0).alias("x_im"),
-            F.coalesce("_br", F.lit(0.0)).alias("r_re"),
-            F.coalesce("_bi", F.lit(0.0)).alias("r_im"),
-            F.coalesce("_br", F.lit(0.0)).alias("u_re"),
-            F.coalesce("_bi", F.lit(0.0)).alias("u_im"),
-        )
-        .localCheckpoint(eager=False)
+    st = ids.join(
+        b.select(ID, F.col("re").alias("_br"), F.col("im").alias("_bi")),
+        on=ID, how="left",
+    ).select(
+        ID,
+        F.lit(float(complex(x0).real)).alias("x_re"),
+        F.lit(float(complex(x0).imag)).alias("x_im"),
+        F.coalesce("_br", F.lit(0.0)).alias("r_re"),
+        F.coalesce("_bi", F.lit(0.0)).alias("r_im"),
     )
+    if complex(x0) != 0j:
+        # r0 = b - A·x0 (constant-x0 SpMV folds to one edge aggregation)
+        st = _cjoin_t(st, _cmxv(A, st, "x_re", "x_im")).select(
+            ID, "x_re", "x_im",
+            (F.col("r_re") - F.col("_tr")).alias("r_re"),
+            (F.col("r_im") - F.col("_ti")).alias("r_im"),
+        )
+    st = st.select(
+        ID, "x_re", "x_im", "r_re", "r_im",
+        F.col("r_re").alias("u_re"), F.col("r_im").alias("u_im"),
+    ).localCheckpoint(eager=False)
     row = st.agg(
         F.sum(F.col("r_re") ** 2 + F.col("r_im") ** 2).alias("sr"),
         F.lit(0.0).alias("si"),
     ).collect()[0]
     sigma = complex(float(row["sr"] or 0.0), 0.0)  # r̄·r is real
-    bnorm = abs(sigma)
+    if complex(x0) != 0j:
+        # bnorm = b̄·b is a separate dot when r0 ≠ b
+        # (conjugate_gradient.hpp:313-327)
+        brow = b.agg(
+            F.sum(F.col("re") ** 2 + F.col("im") ** 2).alias("bn")
+        ).collect()[0]
+        bnorm = float(brow["bn"] or 0.0)
+    else:
+        bnorm = abs(sigma)
     eff_tol = tol * math.sqrt(bnorm)
 
     residual = abs(sigma)

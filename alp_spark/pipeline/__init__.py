@@ -49,3 +49,9 @@ from .pca import (  # noqa: F401
     fit_pca,
     transform_pca,
 )
+from .multimodal import (  # noqa: F401
+    extract_features,
+    media_from_ids,
+    sample_frames,
+    synthesize_media,
+)

@@ -76,8 +76,13 @@ def streaming_sessionize(
     - ``event_time_timeout=True``: an event-time timer fires once the
       watermark passes ``session_end + gap`` — at that point no
       on-time event can extend the session, so the emitted prefix
-      provably matches the batch oracle on closed sessions even with
-      late/out-of-order data. Requires ``events`` to carry a
+      matches the batch oracle on closed sessions for late data
+      admitted by a watermark delay ≤ gap. Admitted strays even
+      earlier than that (delay > gap) are sessionized separately
+      before the open session with correct relative numbering
+      (ADVICE r4); only a stray predating an *already-emitted*
+      session — unreachable when delay ≤ gap — can still disagree
+      with batch numbering. Requires ``events`` to carry a
       watermark on ``ts`` (``events.withWatermark("ts", ...)``).
 
     Default is NO timer: open sessions wait for their closing event,
@@ -139,7 +144,44 @@ def streaming_sessionize(
             else:
                 st = en = None
                 cnt, tot, sid = 0, 0.0, 0
-            for r in rows.itertuples(index=False):
+            row_list = list(rows.itertuples(index=False))
+            i = 0
+            if st is not None:
+                # Stray prefix (ADVICE r4): admitted late events more
+                # than gap BEFORE the open session's start belong to
+                # their own earlier session(s) under batch semantics,
+                # not to the open one. Rows are sorted, so strays form
+                # a prefix (once t >= st - gap, every later t is too,
+                # since st only ever moves down to min(st, t)).
+                # Sessionize the prefix among itself, emit those
+                # sessions with the open session's number(s), and shift
+                # the open session up — start-time-ordered numbering is
+                # preserved relative to everything not yet emitted.
+                ps = None
+                pre = []
+                while i < len(row_list):
+                    t = int(pd.Timestamp(row_list[i].ts).value // 1000)
+                    if t >= st - gap_us:
+                        break
+                    v = float(row_list[i].value)
+                    if ps is None:
+                        ps = [t, t, 1, v]
+                    elif t - ps[1] > gap_us:
+                        pre.append(ps)
+                        ps = [t, t, 1, v]
+                    else:
+                        ps[1] = max(ps[1], t)
+                        ps[2] += 1
+                        ps[3] += v
+                    i += 1
+                if ps is not None:
+                    pre.append(ps)
+                for p in pre:
+                    out.append(
+                        (user_id, sid, p[0], p[1], p[2], round(p[3], 6))
+                    )
+                    sid += 1
+            for r in row_list[i:]:
                 t = int(pd.Timestamp(r.ts).value // 1000)  # epoch micros
                 if st is None:
                     st, en, cnt, tot, sid = t, t, 1, float(r.value), sid + 1

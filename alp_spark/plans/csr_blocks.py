@@ -85,6 +85,7 @@ class CsrBlocks:
     src_dtype: str  # 'int32' | 'int64'
     cache_dir: str
     layout: str = "src"  # 'src' (bincount, plus) | 'dst' (reduceat, any ⊕)
+    target_edges: int = DEFAULT_TARGET_EDGES  # build-time chunk split size
     _owns_dir: bool = field(default=False, repr=False)
 
     def unpersist(self) -> None:
@@ -188,6 +189,7 @@ def build_csr_blocks(
         src_dtype=src_dtype,
         cache_dir=cache_dir,
         layout=layout,
+        target_edges=target_edges,
         _owns_dir=owns,
     )
 

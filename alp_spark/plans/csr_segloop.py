@@ -34,14 +34,17 @@ Transport (``transport=``):
   the same deployment note as ``spmv_dense(x_transport='file')``.
 - ``'shuffle'``: NO shared filesystem — the per-range state (pr, x,
   inv, mask) is a P-row binary-column DataFrame checkpointed
-  executor-resident each superstep, the CSR chunks ride a persisted
-  DataFrame co-partitioned by compute task, and the dense-x allgather
-  is a keyed shuffle replicating the P x-segments to each of the T
-  compute tasks (T·n·8 bytes/superstep — exactly the volume of BSP1D's
+  executor-resident each superstep, the CSR chunks are packed IN-PLAN
+  from the edge DataFrame into binary columns of a persisted DataFrame
+  co-partitioned by compute task (the chunk bytes reach their compute
+  tasks through the shuffle — no executor-local file is ever read from
+  another machine; ADVICE r4), and the dense-x allgather is a keyed
+  shuffle replicating the P x-segments to each of the T compute tasks
+  (T·n·8 bytes/superstep — exactly the volume of BSP1D's
   ``synchronize`` allgather of ``v._global``, bsp1d/blas2.hpp:111-119).
-  Partials ⊕-combine in global-chunk-index order, so results are
-  deterministic and resume is bit-for-bit, independent of shuffle
-  arrival order. Runs on stock multi-executor clusters.
+  Chunk packing sorts by (src, dst) — fully deterministic regardless of
+  shuffle arrival order — and partials ⊕-combine in chunk-index order,
+  so results are deterministic and resume is bit-for-bit.
 
 Cited parity: the update algebra mirrors
 algorithms/simple_pagerank.py:231-245 (itself simple_pagerank.hpp:
@@ -61,7 +64,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..containers import ID, SRC, VAL
+from ..containers import DST, ID, SRC, VAL
 from .csr_blocks import CsrBlocks, _contrib_buf, _load_chunk, _WORKSPACE
 
 
@@ -412,40 +415,71 @@ def _build_aux_df(
     )
 
 
-def _chunks_df(spark: SparkSession, csr: CsrBlocks, T: int) -> DataFrame:
-    """The built CSR chunks as a persisted DataFrame co-partitioned by
-    compute task: (tpid, gidx, pid, width, src, dstoff). Chunk files are
-    read ONCE (on the executors that can see them — the build-time
-    machines); every superstep thereafter serves from the executor
-    cache, spilling to executor-local disk under pressure."""
-    meta = csr.meta.reset_index(drop=True)
-    rows = spark.createDataFrame(
-        [
-            (int(i % T), int(i), int(r["pid"]), int(r["width"]), r["path"])
-            for i, r in meta.iterrows()
-        ],
-        "tpid int, gidx long, pid int, width int, path string",
-    )
-    src_dtype = csr.src_dtype
+def _chunks_df(
+    spark: SparkSession,
+    csr: CsrBlocks,
+    edges: DataFrame,
+    width: int,
+    n_pids: int,
+    T: int,
+) -> DataFrame:
+    """CSR chunks packed IN-PLAN from the edge DataFrame into binary
+    columns, co-partitioned by compute task:
+    (tpid, gidx, pid, width, src, dstoff).
 
-    def read_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = {"tpid": [], "gidx": [], "pid": [], "width": [], "src": [], "dstoff": []}
-            for row in pdf.itertuples(index=False):
-                src = np.load(row.path + ".src.npy")
-                dstoff = np.load(row.path + ".dstoff.npy")
-                out["tpid"].append(row.tpid)
-                out["gidx"].append(row.gidx)
-                out["pid"].append(row.pid)
-                out["width"].append(row.width)
-                out["src"].append(src.astype(src_dtype).tobytes())
-                out["dstoff"].append(dstoff.astype(np.int32).tobytes())
-            yield pd.DataFrame(out)
+    The chunk bytes travel through Spark's shuffle to wherever their
+    compute task runs — never via an executor-local file path that
+    another machine cannot see (ADVICE r4: the previous version read
+    the build-time ``.npy`` chunk files inside ``mapInPandas`` with no
+    task-locality guarantee, which only worked because local mode
+    shares one filesystem). Packing follows :func:`build_csr_blocks`'s
+    rule — ``pid = dst // width``, split every ``target_edges`` — but
+    sorts by **(src, dst)** via ``lexsort`` so the packed bytes are
+    bit-identical regardless of shuffle arrival order (a stable
+    src-only sort would leave equal-src runs in nondeterministic dst
+    order, perturbing fp summation order in the bincount scatter).
+    ``gidx`` is the per-pid chunk index — the combine's ⊕ ordering key
+    within its pid group. One pack job at build; every superstep
+    thereafter serves from the executor cache."""
+    target = csr.target_edges
+    n, src_dtype = csr.n, csr.src_dtype
+    e = edges.select(SRC, DST).withColumn(
+        "pid", (F.col(DST) / F.lit(width)).cast("int")
+    )
+
+    def pack_bytes(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pid = int(key[0])
+        lo = pid * width
+        w = int(min(width, n - lo))
+        src = pdf[SRC].to_numpy(dtype=np.int64)
+        dst = pdf[DST].to_numpy(dtype=np.int64)
+        if len(src) and (src.min() < 0 or src.max() >= n):
+            raise ValueError(
+                f"src vertex id out of range [0, {n}): "
+                f"[{src.min()}, {src.max()}]"
+            )
+        order = np.lexsort((dst, src))  # deterministic total order
+        src = src[order].astype(src_dtype)
+        dst = dst[order]
+        out = {"tpid": [], "gidx": [], "pid": [], "width": [],
+               "src": [], "dstoff": []}
+        for ci, c0 in enumerate(range(0, max(len(dst), 1), target)):
+            c1 = min(c0 + target, len(dst))
+            out["tpid"].append((pid + ci) % T)
+            out["gidx"].append(ci)
+            out["pid"].append(pid)
+            out["width"].append(w)
+            out["src"].append(src[c0:c1].tobytes())
+            out["dstoff"].append((dst[c0:c1] - lo).astype(np.int32).tobytes())
+        return pd.DataFrame(out)
 
     return (
-        rows.mapInPandas(
-            read_chunks,
-            schema="tpid int, gidx long, pid int, width int, src binary, dstoff binary",
+        e.repartition(n_pids, "pid")
+        .groupBy("pid")
+        .applyInPandas(
+            pack_bytes,
+            schema="tpid int, gidx long, pid int, width int, "
+                   "src binary, dstoff binary",
         )
         .repartition(T, "tpid")
         .persist()
@@ -493,7 +527,7 @@ def _pagerank_segments_shuffle(
     T = max(1, min(len(csr.meta), csr.n_partitions))
     src_dtype = csr.src_dtype
     aux = _build_aux_df(spark, edges, width, alpha, n, ranges)
-    chunks = _chunks_df(spark, csr, T)
+    chunks = _chunks_df(spark, csr, edges, width, len(ranges), T)
     task_ids = spark.createDataFrame([(t,) for t in range(T)], "tpid int")
 
     start = init_superstep

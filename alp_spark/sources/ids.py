@@ -39,9 +39,7 @@ def assign_contiguous_ids(urls: DataFrame, col: str = "url") -> DataFrame:
     0..n-1 in ``col``-sorted order (the global sort rank).
 
     The returned map is persisted (callers join against it repeatedly;
-    ``unpersist()`` it when done); the wider build-time intermediate is
-    released before returning, so only the 2-column product stays
-    cached."""
+    ``unpersist()`` it when done)."""
     distinct = (
         urls.select(col)
         .distinct()
@@ -52,10 +50,15 @@ def assign_contiguous_ids(urls: DataFrame, col: str = "url") -> DataFrame:
             F.spark_partition_id().alias("_pid"),
             F.monotonically_increasing_id().alias("_mid"),
         )
-        # one physical layout for both the stats job and the final join;
-        # persist keeps the scan as an InMemoryTableScan of codegen'd
-        # rows — the url column never crosses into Python
-        .persist()
+        # one MATERIALIZED layout shared by the stats job and the final
+        # join. localCheckpoint(eager) rather than persist (ADVICE r4):
+        # repartitionByRange boundary sampling and
+        # monotonically_increasing_id are nondeterministic under
+        # recompute, so a lost-and-rebuilt cached partition could
+        # silently disagree with the collected offsets. Checkpointing
+        # truncates the lineage — a lost replica is fail-stop (job
+        # error), never silently wrong ids.
+        .localCheckpoint(eager=True)
     )
     stats = (
         distinct.groupBy("_pid")
@@ -78,6 +81,10 @@ def assign_contiguous_ids(urls: DataFrame, col: str = "url") -> DataFrame:
         )
         .persist()
     )
-    result.count()  # materialize before dropping the build-time cache
-    distinct.unpersist()
+    # result's lineage now starts at the checkpointed layout, so a
+    # cache-miss recompute re-reads the SAME materialized rows the
+    # offsets were collected from — deterministic by construction. The
+    # checkpoint blocks themselves are released by the ContextCleaner
+    # once `distinct` goes out of scope.
+    result.count()
     return result

@@ -36,19 +36,27 @@ def read_matrix_market(
 ) -> tuple[DataFrame, int, int]:
     """MatrixMarket coordinate format → (edges, nrows, ncols).
 
-    Handles the header modes the reference parser recognises
-    (MatrixFileReaderBase.hpp:95-155): ``pattern`` (no value column) vs
-    ``real``/``integer``, and ``symmetric`` (mirror every off-diagonal
-    entry) vs ``general``. 1-based MM indices are shifted to 0-based.
-    The dimension line is read on the driver (one small head); the
-    entries parse distributed.
+    Handles every header mode the reference parser recognises
+    (MatrixFileReaderBase.hpp:95-162): value types ``pattern`` (no value
+    column) / ``real`` / ``integer`` / ``complex`` (two value columns
+    ``re``/``im``), and structure ``symmetric`` (mirror every
+    off-diagonal entry) / ``hermitian`` (mirror with conjugated
+    imaginary part) / ``general``. 1-based MM indices are shifted to
+    0-based. The dimension line is read on the driver (one small head);
+    the entries parse distributed.
+
+    Returns ``(edges, nrows, ncols)`` where ``edges`` has columns
+    ``(src, dst)`` for pattern, ``(src, dst, val)`` for real/integer,
+    and ``(src, dst, re, im)`` for complex.
     """
     head = spark.read.text(path).limit(64).collect()
     banner = head[0]["value"].lower()
     if not banner.startswith("%%matrixmarket"):
         raise ValueError("not a MatrixMarket file")
     pattern = "pattern" in banner
-    symmetric = "symmetric" in banner
+    is_complex = "complex" in banner
+    hermitian = "hermitian" in banner
+    symmetric = "symmetric" in banner or hermitian
     dims = next(
         r["value"] for r in head[1:] if not r["value"].startswith("%")
     )
@@ -71,14 +79,32 @@ def read_matrix_market(
     data = data.where(F.array_join(parts, " ") != F.lit(dims_norm))
     if n_matched > 1:
         data = data.unionByName(matched.limit(n_matched - 1))
+    if pattern:
+        vals = []
+    elif is_complex:
+        vals = [
+            parts.getItem(2).cast("double").alias("re"),
+            parts.getItem(3).cast("double").alias("im"),
+        ]
+    else:
+        vals = [parts.getItem(2).cast("double").alias(VAL)]
     body = data.select(
         (parts.getItem(0).cast("long") - 1).alias(SRC),
         (parts.getItem(1).cast("long") - 1).alias(DST),
-        *([] if pattern else [parts.getItem(2).cast("double").alias(VAL)]),
+        *vals,
     )
     if symmetric:
-        sw = [F.col(DST).alias(SRC), F.col(SRC).alias(DST)] + (
-            [F.col(VAL)] if not pattern else []
-        )
+        if pattern:
+            mirror_vals = []
+        elif is_complex:
+            # hermitian mirror conjugates: A[j,i] = conj(A[i,j])
+            # (MatrixFileReaderBase.hpp Hermitian mode)
+            mirror_vals = [
+                F.col("re"),
+                (-F.col("im") if hermitian else F.col("im")).alias("im"),
+            ]
+        else:
+            mirror_vals = [F.col(VAL)]
+        sw = [F.col(DST).alias(SRC), F.col(SRC).alias(DST)] + mirror_vals
         body = body.unionByName(body.where(F.col(SRC) != F.col(DST)).select(*sw))
     return body, nrows, ncols

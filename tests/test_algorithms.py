@@ -103,11 +103,43 @@ def test_kcore_shuffle_frontier_path(spark):
 
     n, edges = g2_components()
     E = edges_df(spark, edges)
-    res = kcore_decomposition(spark, E, n, broadcast_threshold=0)
+    res = kcore_decomposition(
+        spark, E, n, broadcast_threshold=0, method="peel"
+    )
     got = {r["id"]: r["core"] for r in res.cores.collect()}
     from .oracles import kcore as kcore_oracle
     want = kcore_oracle(n, edges)
     assert [got[i] for i in range(n)] == list(want)
+
+
+def test_kcore_hindex_and_peel_agree(spark):
+    # the two engines must produce identical coreness (module docstring;
+    # the h-index fixpoint equals coreness, Lu et al. 2016) on a graph
+    # with a deep-ish hierarchy + isolated vertices
+    import random
+
+    from alp_spark.algorithms.kcore import kcore_decomposition
+
+    rng = random.Random(7)
+    n = 60
+    und = {(i, (i + 1) % 40) for i in range(40)}  # cycle: core 2
+    for _ in range(120):
+        a, b = rng.randrange(40), rng.randrange(40)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    for i in range(40, 50):  # pendant chain off the cycle: core 1
+        und.add((i - 1, i))
+    sym = sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    E = edges_df(spark, sym)
+    hi = kcore_decomposition(spark, E, n, method="hindex")
+    pe = kcore_decomposition(spark, E, n, method="peel")
+    got_h = {r["id"]: r["core"] for r in hi.cores.collect()}
+    got_p = {r["id"]: r["core"] for r in pe.cores.collect()}
+    assert got_h == got_p
+    from .oracles import kcore as kcore_oracle
+    want = kcore_oracle(n, sym)
+    assert [got_h[i] for i in range(n)] == list(want)
+    assert hi.max_k == pe.max_k
 
 
 def test_spy_matches_numpy(spark):

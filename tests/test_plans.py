@@ -202,3 +202,44 @@ def test_vxm_without_mask_hint_leaves_choice_to_aqe(spark, hub_graph):
     assert sorted(map(tuple, hinted.collect())) == sorted(
         map(tuple, unhinted.collect())
     )
+
+
+def test_e_wise_lambda_matrix_gates_vector_broadcast(spark, hub_graph):
+    # VERDICT r4: row/col vectors are O(n) (up to 1e9 at the design
+    # point) — the joins must NOT broadcast above the nnz threshold,
+    # and must broadcast below it, mirroring vxm(out_mask_nnz=...).
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    from alp_spark.operators.blas2 import e_wise_lambda_matrix
+
+    n, _, E = hub_graph
+    rv = spark.range(n).select(F.col("id"), F.lit(2.0).alias("val"))
+    cv = spark.range(n).select(F.col("id"), F.lit(3.0).alias("val"))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {"src": pdf["src"], "dst": pdf["dst"],
+             "val": pdf["row_val"] * pdf["col_val"]}
+        )
+
+    # disable Catalyst's stats-based auto-broadcast so the plan shows
+    # only what the HINT dictates (test data is tiny; at the design
+    # point the vectors are terabyte-scale and stats would agree)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = e_wise_lambda_matrix(
+            E, fn, row_vec=rv, col_vec=cv,
+            row_vec_nnz=10**9, col_vec_nnz=10**9,
+        )
+        plan = big._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+    small = e_wise_lambda_matrix(
+        E, fn, row_vec=rv, col_vec=cv, row_vec_nnz=n, col_vec_nnz=n
+    )
+    plan_s = small._jdf.queryExecution().executedPlan().toString()
+    assert plan_s.count("BroadcastHashJoin") == 2

@@ -4,8 +4,11 @@ against np.linalg.solve at the requested tolerance."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from alp_spark.algorithms import bicgstab, conjugate_gradient
 
@@ -163,3 +166,70 @@ def test_conjugate_gradient_complex_matches_numpy(spark):
     for s, d, re, im in entries:
         Adense[s, d] = complex(re, im)
     np.testing.assert_allclose(Adense @ got, np.array(bvec), rtol=1e-6, atol=1e-7)
+
+
+REF_HERMIT_MTX = "/root/reference/tests/smoke/test_data/rndHermit256.mtx"
+REF_HERMIT_GOLDEN = (
+    "/root/reference/tests/smoke/output_verification/"
+    "complex_conjugate_conjugate_gradient_out_rndHermit256_ref"
+)
+
+
+@pytest.mark.skipif(
+    not (os.path.exists(REF_HERMIT_MTX) and os.path.exists(REF_HERMIT_GOLDEN)),
+    reason="vendored reference fixture pair not available",
+)
+def test_complex_cg_matches_reference_golden_output(spark):
+    """Validate complex CG end-to-end against the ONLY input+golden pair
+    the reference itself ships (tests/smoke/smoketests.sh:215-226): solve
+    rndHermit256.mtx (``matrix coordinate complex hermitian`` banner)
+    with the smoke test's exact setup — x0 = 1/n, b = 1, TOL = 1e-6,
+    MAX_ITERS = 10000 (tests/smoke/conjugate_gradient.cpp:43-44,138-139)
+    — and check the solution with the reference's own verification
+    harness semantics (tests/utils/output_verification.hpp:135-330):
+    per-element inf-norm and global 2-norm, both at relative tolerance
+    C1 = C2 = 1e-4 (conjugate_gradient.cpp:46-47). Every other oracle in
+    this repo is self-derived; this one is the reference's."""
+    import numpy as np
+
+    from alp_spark.algorithms.solvers import conjugate_gradient_complex
+    from alp_spark.sources.readers import read_matrix_market
+
+    edges, nrows, ncols = read_matrix_market(spark, REF_HERMIT_MTX)
+    assert nrows == ncols == 256
+    # 1270 stored entries, 256 on the diagonal -> hermitian mirror adds
+    # 1014 conjugated off-diagonals (the parser's Hermitian mode,
+    # MatrixFileReaderBase.hpp:153-155)
+    assert edges.count() == 2 * 1270 - 256
+    n = nrows
+    b = spark.range(n).select(
+        F.col("id"), F.lit(1.0).alias("re"), F.lit(0.0).alias("im")
+    )
+    res = conjugate_gradient_complex(
+        spark, edges, b, n, tol=1e-6, max_iterations=10000,
+        x0=complex(1.0 / n, 0.0),
+    )
+    assert res.converged
+
+    truth_ri = np.loadtxt(REF_HERMIT_GOLDEN)
+    assert truth_ri.shape == (n, 2)
+    truth = truth_ri[:, 0] + 1j * truth_ri[:, 1]
+    got = np.zeros(n, dtype=complex)
+    for r in res.x.collect():
+        got[r["id"]] = complex(r["re"], r["im"])
+
+    # reference harness: output_verification.hpp:178-189 (magnitudes),
+    # :228-241 (inf-norm), :272-296 (2-norm); eps = DBL_EPSILON (:228)
+    c1 = c2 = 1e-4
+    eps = np.finfo(np.float64).eps
+    magnitude2 = np.sqrt(np.sum(np.abs(truth) ** 2))
+    magnitude_inf = np.max(np.abs(truth))
+    err = np.abs(got - truth)
+    assert np.all(err <= c2 * magnitude_inf + eps), (
+        f"inf-norm verification failed: max {err.max()} vs "
+        f"{c2 * magnitude_inf + eps}"
+    )
+    norm2 = np.sqrt(np.sum(err ** 2))
+    assert norm2 <= c1 * magnitude2 + n * eps, (
+        f"2-norm verification failed: {norm2} vs {c1 * magnitude2 + n * eps}"
+    )
