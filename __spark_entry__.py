@@ -408,9 +408,10 @@ def q_sparse_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """k-core coreness by algebraic peeling
-    (kcore_decomposition.hpp:141-296, Li et al. HPEC'21) — iterative
-    fixpoint, rows-only check."""
+    """k-core coreness (kcore_decomposition.hpp:141-296, Li et al.
+    HPEC'21 semantics) via the iterated-h-index engine — few rounds
+    instead of one job per peel level (VERDICT r4 item 5); output
+    identical to the peel loop and to the unrolled-peel SQL oracle."""
     res = kcore_decomposition(spark, _sym_edges(spark, sf_dir), N_V)
     return res.cores.select(ID, F.col("core").alias("coreness"))
 
@@ -902,6 +903,149 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode through the REAL codec path with an EXACT
+    oracle (VERDICT r4 item 3): build genuine P5-netpbm / PCM-WAV /
+    RAWV payloads whose bytes are a pure integer function of doc_id
+    (pipeline.multimodal.media_from_ids), push them through the
+    mapInPandas decode + 16-bin histogram (extract_features
+    decode='real' — the same plumbing a Pillow/PyAV deployment uses),
+    and flatten the feature vectors to scalar rows. The oracle
+    reproduces the decoded histogram purely arithmetically: bin =
+    px//16 with px = (id·131+i·7) mod 251 (image/video, decode px/256)
+    and bin = v//4096 with v = (id·37+i·11) mod 65536 (audio, decode
+    v/65536); every value c/64 is dyadic-exact in both engines."""
+    from alp_spark.pipeline import extract_features, media_from_ids
+
+    docs = _tbl(spark, sf_dir, "documents").select("doc_id")
+    feats = extract_features(media_from_ids(docs), decode="real")
+    return feats.select(
+        "media_id", "kind", F.posexplode("feature")
+    ).select(
+        "media_id",
+        "kind",
+        F.col("pos").cast("long").alias("pos"),
+        F.col("col").cast("double").alias("val"),
+    )
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over RAWV video payloads (sample_frames every=2:
+    frames 0,2,4,6 of 8), digested to per-frame byte length and byte
+    sum so the binary slice boundaries are oracle-checkable: frame f
+    covers raster bytes [f·8, (f+1)·8) of the 64-byte RAWV body, so
+    frame_sum = Σ_j (id·131 + (f·8+j)·7) mod 251 — exact integers."""
+    import numpy as np
+    import pandas as pd
+
+    from alp_spark.pipeline import media_from_ids, sample_frames
+
+    vids = (
+        _tbl(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % 3 == 2)
+    )
+    frames = sample_frames(media_from_ids(vids), every=2)
+
+    def digest(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "frame_idx": pdf["frame_idx"].astype("int64"),
+                    "frame_len": [
+                        len(p or b"") for p in pdf["frame_payload"]
+                    ],
+                    "frame_sum": [
+                        int(np.frombuffer(p or b"", dtype=np.uint8)
+                            .astype(np.int64).sum())
+                        for p in pdf["frame_payload"]
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(
+        digest,
+        schema="media_id long, frame_idx long, frame_len long, "
+               "frame_sum long",
+    )
+
+
+PCA_K = 2
+PCA_ITERS = 40
+PCA_COV_DP = 6   # covariance/mean rounding grid (embed_covariance's)
+PCA_VEC_DP = 9   # component/eigenvalue hand-off grid
+PCA_OUT_DP = 6   # projected output grid
+PCA_EPS = 1e-9
+
+
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection + whitening end-to-end with an exact oracle
+    (VERDICT r4 item 4): ONE distributed moment pass (O(d²) driver
+    traffic), covariance and mean rounded to the embed_covariance grid,
+    then a PINNED power-iteration/deflation fit (fit_pca_power — eigh
+    is not SQL-expressible, so the oracle replays the identical pinned
+    algorithm as an unrolled CTE chain, the kmeans/hpcg technique) and
+    a transform_pca whitened projection whose k·d weights ride the plan
+    as literals. Output: (vec_id, pc, val) rounded to 6 dp."""
+    import numpy as np
+
+    from alp_spark.pipeline import (
+        PcaModel,
+        embedding_moments,
+        fit_pca_power,
+        transform_pca,
+    )
+    from alp_spark.pipeline.pca import moments_to_covariance
+
+    emb = _tbl(spark, sf_dir, "embeddings")
+    cells = embedding_moments(emb).collect()
+    n, mean, C = moments_to_covariance(cells)
+    mean_r = np.round(mean, PCA_COV_DP)
+    C_r = np.round(C, PCA_COV_DP)
+    comps, lams = fit_pca_power(
+        C_r, k=PCA_K, iters=PCA_ITERS, round_dp=PCA_VEC_DP
+    )
+    model = PcaModel(
+        mean=mean_r.tolist(), components=comps, eigenvalues=lams, n=n
+    )
+    out = transform_pca(emb, model, whiten=True, eps=PCA_EPS)
+    return out.select(
+        "vec_id", F.posexplode("pca")
+    ).select(
+        "vec_id",
+        F.col("pos").cast("long").alias("pc"),
+        F.round("col", PCA_OUT_DP).alias("val"),
+    )
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (dropDuplicatesWithinWatermark keyed on
+    md5(text), streaming/windows.py) over the documents table staged as
+    a file stream with a deterministic event time ts = epoch +
+    doc_id seconds (all inside one watermark horizon, so nothing is
+    evicted mid-drain and the emitted set is exactly one row per
+    distinct text). Only the text hash is returned — WHICH duplicate
+    row survives is first-arrival nondeterministic, but the surviving
+    hash set equals batch DISTINCT md5(text)."""
+    from alp_spark.streaming import run_to_memory, stream_events
+
+    d = _stage_stream_dir(sf_dir, table="documents")
+    docs = stream_events(spark, d).withColumn(
+        "ts",
+        (F.lit(1_600_000_000).cast("long") + F.col("doc_id"))
+        .cast("timestamp"),
+    )
+    from alp_spark.streaming.windows import streaming_exact_dedup
+
+    out = run_to_memory(
+        streaming_exact_dedup(docs, ts_col="ts", watermark="24 hours"),
+        spark,
+        "q_stream_dedup",
+    )
+    return out.select(F.col("text_hash"))
+
+
 # --------------------------------------------------------------------------
 # driver entry points
 # --------------------------------------------------------------------------
@@ -965,6 +1109,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sessionize_stream": q_sessionize_stream,
         "sample_split": q_sample_split,
         "embed_covariance": q_embed_covariance,
+        "media_features": q_media_features,
+        "video_frames": q_video_frames,
+        "stream_dedup": q_stream_dedup,
+        "pca_project": q_pca_project,
     }
 
 
@@ -1879,6 +2027,113 @@ FROM s GROUP BY user_id, session_id
 {tail}"""
 
 
+def _pca_project_sql() -> str:
+    """Unrolled-CTE replay of q_pca_project (the kmeans/hpcg pinned-
+    algorithm technique): covariance + mean on the embed_covariance
+    rounding grid, PCA_ITERS power steps per component with rank-one
+    deflation, every hand-off rounded exactly like fit_pca_power, then
+    the whitened projection. The upper triangle is computed once and
+    mirrored so the matrix is exactly symmetric, matching the Spark
+    moment pass."""
+    import math
+
+    d, it = EMB_DIM, PCA_ITERS
+    v0 = repr(1.0 / math.sqrt(d))
+    parts = [
+        f"""e AS (
+  SELECT vec_id, t.p::BIGINT - 1 AS pos, embedding[t.p::INT]::DOUBLE AS val
+  FROM embeddings CROSS JOIN range(1, {d + 1}) t(p)
+)""",
+        f"""mn AS (
+  SELECT pos, round(avg(val), {PCA_COV_DP}) AS m FROM e GROUP BY pos
+)""",
+        f"""cu AS (
+  SELECT a.pos AS i, b.pos AS j,
+         round(covar_samp(a.val, b.val), {PCA_COV_DP}) AS cv
+  FROM e a JOIN e b USING (vec_id)
+  WHERE a.pos <= b.pos
+  GROUP BY a.pos, b.pos
+)""",
+        "c0 AS (SELECT i, j, cv FROM cu "
+        "UNION ALL SELECT j, i, cv FROM cu WHERE i < j)",
+    ]
+    for pc in range(PCA_K):
+        if pc == 0:
+            parts.append(
+                f"v{pc}_0 AS (SELECT range AS pos, {v0} AS val "
+                f"FROM range({d}))"
+            )
+        else:
+            # deterministic varied start; deflation supplies overlap
+            parts.append(
+                f"v{pc}_0 AS (SELECT range AS pos, "
+                f"((range % 5) - 2)::DOUBLE AS val FROM range({d}))"
+            )
+        for t in range(1, it + 1):
+            parts.append(
+                f"w{pc}_{t} AS (SELECT c.i AS pos, "
+                f"SUM(c.cv * v.val) AS val "
+                f"FROM c{pc} c JOIN v{pc}_{t - 1} v ON v.pos = c.j "
+                f"GROUP BY c.i)"
+            )
+            parts.append(
+                f"v{pc}_{t} AS (SELECT pos, val / sqrt((SELECT "
+                f"SUM(val * val) FROM w{pc}_{t})) AS val "
+                f"FROM w{pc}_{t})"
+            )
+        parts.append(
+            f"p{pc} AS (SELECT pos, round(val, {PCA_VEC_DP}) AS val "
+            f"FROM v{pc}_{it})"
+        )
+        parts.append(
+            f"l{pc} AS (SELECT round(SUM(a.val * c.cv * b.val), "
+            f"{PCA_VEC_DP}) AS l FROM c{pc} c "
+            f"JOIN p{pc} a ON a.pos = c.i JOIN p{pc} b ON b.pos = c.j)"
+        )
+        if pc + 1 < PCA_K:
+            # Cw ← Cw − λ·(vᵢ·vⱼ), association exactly as numpy's
+            # lam * np.outer(v, v)
+            parts.append(
+                f"c{pc + 1} AS (SELECT c.i, c.j, "
+                f"c.cv - (SELECT l FROM l{pc}) * (a.val * b.val) AS cv "
+                f"FROM c{pc} c JOIN p{pc} a ON a.pos = c.i "
+                f"JOIN p{pc} b ON b.pos = c.j)"
+            )
+    parts.append(
+        "comp AS ("
+        + " UNION ALL ".join(
+            f"SELECT {pc} AS pc, pos, val FROM p{pc}"
+            for pc in range(PCA_K)
+        )
+        + ")"
+    )
+    parts.append(
+        "lam AS ("
+        + " UNION ALL ".join(
+            f"SELECT {pc} AS pc, l FROM l{pc}" for pc in range(PCA_K)
+        )
+        + ")"
+    )
+    # MATERIALIZED is load-bearing: DuckDB inlines plain CTEs per
+    # reference, and v_t references w_t twice (value + norm scalar), so
+    # an un-materialized 40-step chain doubles per level (2^40 plans)
+    # and re-reads the parquet under c0 at every reference
+    parts = [p.replace(" AS (", " AS MATERIALIZED (", 1) for p in parts]
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"""
+SELECT e.vec_id AS vec_id, cm.pc::BIGINT AS pc,
+       round(SUM((e.val - mn.m) * cm.val) / sqrt(la.l + {PCA_EPS!r}),
+             {PCA_OUT_DP}) AS val
+FROM e
+JOIN mn ON mn.pos = e.pos
+JOIN comp cm ON cm.pos = e.pos
+JOIN lam la ON la.pc = cm.pc
+GROUP BY e.vec_id, cm.pc, la.l"""
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from alp_spark.pipeline.text import STOPWORDS
 
@@ -1977,6 +2232,50 @@ SELECT id, true AS reached FROM hop2""",
         # a drained streaming run emits every CLOSED session; each
         # user's last session is still open in state
         "sessionize_stream": _sessionize_sql(closed_only=True),
+        # media_from_ids formula replayed arithmetically (no bytes):
+        # decode intensities are px/256 (image/video) and v/65536
+        # (audio), so histogram bins are exact integer divisions
+        "media_features": """WITH m AS (
+  SELECT doc_id,
+         CASE CAST(doc_id % 3 AS INT)
+           WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+         END AS kind
+  FROM documents
+),
+i AS (SELECT range AS i FROM range(64)),
+b AS (
+  SELECT m.doc_id, m.kind,
+         CASE WHEN m.kind = 'audio'
+              THEN ((m.doc_id * 37 + i.i * 11) % 65536) // 4096
+              ELSE ((m.doc_id * 131 + i.i * 7) % 251) // 16
+         END AS bin
+  FROM m CROSS JOIN i
+),
+c AS (
+  SELECT doc_id, kind, bin, count(*) AS cnt FROM b
+  GROUP BY doc_id, kind, bin
+),
+p AS (SELECT range AS pos FROM range(16))
+SELECT m.doc_id AS media_id, m.kind AS kind, p.pos AS pos,
+       COALESCE(c.cnt, 0) / 64.0 AS val
+FROM m CROSS JOIN p
+LEFT JOIN c ON c.doc_id = m.doc_id AND c.bin = p.pos""",
+        "video_frames": """WITH v AS (
+  SELECT doc_id FROM documents WHERE doc_id % 3 = 2
+),
+f AS (SELECT range * 2 AS frame_idx FROM range(4)),
+j AS (SELECT range AS j FROM range(8))
+SELECT v.doc_id AS media_id, f.frame_idx AS frame_idx,
+       CAST(8 AS BIGINT) AS frame_len,
+       CAST(SUM((v.doc_id * 131 + (f.frame_idx * 8 + j.j) * 7) % 251)
+            AS BIGINT) AS frame_sum
+FROM v CROSS JOIN f CROSS JOIN j
+GROUP BY v.doc_id, f.frame_idx""",
+        # the drained stream keeps ONE row per distinct text (nothing
+        # evicts: all synthetic ts fit in one 24h watermark horizon)
+        "stream_dedup": "SELECT DISTINCT md5(text) AS text_hash "
+                        "FROM documents",
+        "pca_project": _pca_project_sql(),
         "embed_covariance": f"""WITH e AS (
   SELECT vec_id, t.p::BIGINT - 1 AS pos, embedding[t.p::INT]::DOUBLE AS val
   FROM embeddings CROSS JOIN range(1, {EMB_DIM + 1}) t(p)

@@ -47,6 +47,7 @@ from .pca import (  # noqa: F401
     PcaModel,
     embedding_moments,
     fit_pca,
+    fit_pca_power,
     transform_pca,
 )
 from .multimodal import (  # noqa: F401

@@ -165,3 +165,53 @@ def transform_pca(
     return emb.select(F.col(id_col), *outs).select(
         id_col, F.array(*[F.col(f"_p{j}") for j in range(len(outs))]).alias(out_col)
     )
+
+
+def fit_pca_power(
+    C: np.ndarray,
+    k: int,
+    iters: int = 40,
+    round_dp: int = 9,
+) -> tuple[list, list]:
+    """Pinned-iteration power/deflation PCA on a (pre-rounded)
+    covariance matrix — the SQL-replayable fit.
+
+    ``eigh`` is not expressible in SQL, so the oracle-backed driver
+    query uses this instead (the kmeans technique: pin the algorithm,
+    not the answer): ``iters`` power steps from a FIXED start vector,
+    Rayleigh-quotient eigenvalue, rank-one deflation, repeat. Every
+    hand-off (component, eigenvalue) is rounded to ``round_dp``
+    decimals so both engines continue from bit-identical numbers; the
+    normalized power map is non-expansive, so engine-level summation
+    order differences stay at ~1e-15 between hand-offs. With pinned
+    iterations the result is exactly "what this algorithm computes" on
+    both sides — converged to the true eigenvectors whenever the
+    eigengap allows, and still deterministic when it does not.
+
+    Start vectors: component 0 from the constant vector 1/√d (exact
+    dyadic); component j > 0 from the deterministic varied vector
+    ``(pos mod 5) - 2`` (deflation makes the generic overlap
+    sufficient).
+
+    Returns (components k×d, eigenvalues k), all rounded.
+    """
+    d = C.shape[0]
+    Cw = C.astype(np.float64).copy()
+    comps: list = []
+    lams: list = []
+    for j in range(k):
+        if j == 0:
+            v = np.full(d, 1.0 / np.sqrt(d))
+        else:
+            v = ((np.arange(d) % 5) - 2).astype(np.float64)
+        for _ in range(iters):
+            w = Cw @ v
+            v = w / np.sqrt(float(w @ w))
+        v = np.round(v, round_dp)
+        lam = float(np.round(v @ (Cw @ v), round_dp))
+        comps.append(v.tolist())
+        lams.append(lam)
+        # rank-one deflation with the ROUNDED pair: element-wise ops on
+        # identical inputs are bit-identical across engines
+        Cw = Cw - lam * np.outer(v, v)
+    return comps, lams

@@ -603,3 +603,46 @@ def test_pca_rejects_degenerate_inputs(spark):
     _, df = _emb_fixture(spark, n=10, d=3)
     with pytest.raises(ValueError):
         fit_pca(df, k=9)
+
+
+def test_fit_pca_power_matches_eigh_on_gapped_spectrum():
+    # pinned power/deflation (the SQL-replayable fit) must agree with
+    # eigh when the eigengap allows convergence in the pinned budget
+    from alp_spark.pipeline import fit_pca_power
+
+    rng = np.random.RandomState(3)
+    d = 16
+    Q, _ = np.linalg.qr(rng.standard_normal((d, d)))
+    lam_true = np.array([9.0, 4.0] + [0.5] * (d - 2))
+    C = (Q * lam_true) @ Q.T
+    C = np.round((C + C.T) / 2, 6)
+    comps, lams = fit_pca_power(C, k=2, iters=60)
+    for j in range(2):
+        v = np.array(comps[j])
+        # direction match up to sign
+        assert abs(abs(v @ Q[:, j]) - 1.0) < 1e-5
+        assert abs(lams[j] - lam_true[j]) < 1e-4
+
+
+def test_media_from_ids_real_decode_matches_formula(spark):
+    # payloads are genuine P5/WAV/RAWV; the real decoder must recover
+    # exactly the documented integer formulas (the media_features
+    # oracle's arithmetic)
+    from alp_spark.pipeline import extract_features, media_from_ids
+
+    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    feats = {
+        (r["media_id"], r["kind"]): np.array(r["feature"])
+        for r in extract_features(
+            media_from_ids(ids), decode="real"
+        ).collect()
+    }
+    i = np.arange(64)
+    for mid in range(6):
+        kind = ("image", "audio", "video")[mid % 3]
+        if kind == "audio":
+            bins = ((mid * 37 + i * 11) % 65536) // 4096
+        else:
+            bins = ((mid * 131 + i * 7) % 251) // 16
+        want = np.bincount(bins, minlength=16) / 64.0
+        np.testing.assert_array_equal(feats[(mid, kind)], want)
