@@ -116,8 +116,14 @@ def test_assign_contiguous_ids_stays_in_dataframe_land(spark, tmp_path):
     # global url-sort rank, contiguous from 0
     assert got == {u: i for i, u in enumerate(sorted(got))}
     plan = m._jdf.queryExecution().executedPlan().toString()
-    # the dictionary side reads the cached codegen layout; only the
-    # P-row offset table (driver metadata, a broadcast variable in
-    # DataFrame form) is a local relation
-    assert "ExistingRDD[url" not in plan
-    assert "InMemoryTableScan" in plan
+    # The dictionary side reads the eager localCheckpoint of the indexed
+    # layout (ADVICE r4: fail-stop against recompute drift), which prints
+    # as a Scan ExistingRDD — but of the JVM-materialized (url, _pid,
+    # _mid) rows, never a Python-built local relation of bare urls. The
+    # only allowed local relation is the P-row offset table.
+    import re
+
+    url_scans = re.findall(r"ExistingRDD\[url#\d+[,\]]([_a-zA-Z]*)", plan)
+    assert url_scans, plan  # the checkpointed layout is what the join reads
+    assert all(s == "_pid" for s in url_scans), plan
+    assert "LocalTableScan [url" not in plan
