@@ -35,6 +35,12 @@ reference ``execute`` (pregel.hpp:650-920):
    round entry) that lands between assembling ``incoming`` and running
    the program. Liveness is tracked in the ``_out_live`` column;
    ``out_nnz`` (the trigger's cost input) is carried on the driver.
+   Measured (scripts/bench_pregel_sparsify.py, BASELINE.md round 5):
+   the reference's "ALWAYS is slower" result does NOT carry over —
+   here sparsify is one fused predicate, not a workspace compaction,
+   so all strategies sit within ~7% on the CC flood (ALWAYS slightly
+   ahead). Default stays 'none' for reference parity; enabling it is
+   safe and pays on early-decaying frontiers.
 
 Per-superstep Spark cost: one message groupBy (shuffle, map-side partial
 agg absorbs hub in-degree skew), one id-join against the ACTIVE slice,
