@@ -211,6 +211,35 @@ def q_pagerank5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.ranks.select(ID, F.round(VAL, 6).alias("rank"))
 
 
+# L1 residuals of the sf0.01 driver graph's power iteration fall ~8x per
+# step (5.4e-6 at iter 6, 6.3e-7 at iter 7), so the 1e-6 stop round is
+# FP-ordering-proof and the convergence oracle can unroll exactly 7.
+PR_CONV_TOL = 1e-6
+PR_CONV_ITERS = 7
+
+
+def q_pagerank_conv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-rule headline semantics: PageRank run TO CONVERGENCE
+    (L1 residual <= 1e-6, the reference stop rule
+    simple_pagerank.hpp:433-443) rather than a pinned round count.
+    The emitted per-row ``iters`` column pins the engine's actual stop
+    round against the oracle's unrolled depth, so a convergence-test
+    regression (stopping early/late) is a hash mismatch, not silence."""
+    res = simple_pagerank(
+        spark,
+        _edges(spark, sf_dir),
+        N_V,
+        alpha=0.85,
+        conv=PR_CONV_TOL,
+        max_iter=200,
+    )
+    return res.ranks.select(
+        ID,
+        F.round(VAL, 6).alias("rank"),
+        F.lit(res.iterations).alias("iters"),
+    )
+
+
 PPR_SEEDS = [(0, 0.6), (7, 0.4)]  # personalization distribution
 
 
@@ -1065,6 +1094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank5": q_pagerank5,
         "ppr5": q_ppr5,
         "pagerank5_csr": q_pagerank5_csr,
+        "pagerank_conv": q_pagerank_conv,
         "top_rank_vertex": q_top_rank_vertex,
         "fma_degrees": q_fma_degrees,
         "out_degree_salted": q_out_degree_salted,
@@ -1120,11 +1150,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect where ANSI falls short: list lambdas)
 # --------------------------------------------------------------------------
 
-def _pagerank5_sql() -> str:
+def _pagerank5_sql(iters: int = PR_ITERS, final_extra: str = "") -> str:
     n, a = N_V, 0.85
     steps = []
     prev = "p0"
-    for k in range(1, PR_ITERS + 1):
+    for k in range(1, iters + 1):
         steps.append(f"""p{k} AS (
   SELECT v.id,
          coalesce(s.contrib, 0)
@@ -1144,7 +1174,7 @@ outdeg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
 v AS (SELECT id FROM range({n}) t(id)),
 p0 AS (SELECT id, 1.0 / {n} AS rank FROM v),
 {joined}
-SELECT id, round(rank, 6) AS rank FROM {prev}"""
+SELECT id, round(rank, 6) AS rank{final_extra} FROM {prev}"""
 
 
 def _ppr5_sql() -> str:
@@ -2164,6 +2194,10 @@ SELECT sum(o.v * i.v)::DOUBLE AS dot_val FROM o JOIN i ON o.id = i.id""",
         "pagerank5": _pagerank5_sql(),
         "ppr5": _ppr5_sql(),
         "pagerank5_csr": _pagerank5_sql(),
+        "pagerank_conv": _pagerank5_sql(
+            iters=PR_CONV_ITERS,
+            final_extra=f", {PR_CONV_ITERS} AS iters",
+        ),
         "out_degree_salted": f"""WITH {E_SQL}
 SELECT src AS id, count(*) AS degree FROM edges GROUP BY src""",
         "fma_degrees": f"""WITH {E_SQL},
