@@ -452,6 +452,18 @@ def q_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.state.select(ID, F.col("state").alias("label"))
 
 
+def q_fastsv_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via FastSV (Zhang/Azad/Buluc SIAM PP 2020) —
+    the O(log n)-round at-scale path, vs the flood's O(diameter); same
+    components, labelled by component MIN vertex id (hooking is
+    min-wise). Expressed in ALP algebra: extract + (min, second) mxv +
+    assign-min + eWiseApply-min per round."""
+    from alp_spark.algorithms.fastsv import fastsv_components
+
+    res = fastsv_components(spark, _sym_edges(spark, sf_dir), N_V)
+    return res.labels
+
+
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Masked SpGEMM triangles (degree-oriented wedge join)."""
     res = triangle_count(_sym_edges(spark, sf_dir))
@@ -1102,6 +1114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mxm_wedges": q_mxm_wedges,
         "kcore": q_kcore,
         "connected_components": q_connected_components,
+        "fastsv_cc": q_fastsv_cc,
         "triangle_count": q_triangle_count,
         "khop2": q_khop2,
         "mpv3_minplus": q_mpv3_minplus,
@@ -2230,6 +2243,14 @@ r(id, reach) AS (
   SELECT r.id, s.dst FROM r JOIN sym s ON s.src = r.reach
 )
 SELECT id, max(reach) AS label FROM r GROUP BY id""",
+        "fastsv_cc": f"""WITH RECURSIVE {E_SQL},
+{SYM_SQL},
+r(id, reach) AS (
+  SELECT id, id FROM range({N_V}) t(id)
+  UNION
+  SELECT r.id, s.dst FROM r JOIN sym s ON s.src = r.reach
+)
+SELECT id, min(reach) AS label FROM r GROUP BY id""",
         "triangle_count": f"""WITH {E_SQL},
 {SYM_SQL},
 deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),

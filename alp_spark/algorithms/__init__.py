@@ -1,6 +1,7 @@
 """Shipped algorithms re-expressed Spark-first (SURVEY.md §2.11)."""
 
 from .connected_components import connected_components  # noqa: F401
+from .fastsv import fastsv_components  # noqa: F401
 from .hpcg import build_hpcg_system, hpcg  # noqa: F401
 from .kcore import kcore_decomposition  # noqa: F401
 from .kmeans import kmeans, kpp_initialisation  # noqa: F401
