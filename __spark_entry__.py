@@ -682,6 +682,23 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kept.join(drop, on="doc_id", how="left_anti").select("doc_id")
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clusters: LSH candidates → exact-Jaccard
+    verify → FastSV transitive closure over the verified pair graph
+    (the distributed union-find-over-LSH-pairs step real dedup
+    pipelines run); every doc gets (doc_id, cluster_id = min doc_id
+    of its near-dup component), singletons are their own cluster."""
+    from alp_spark.pipeline import dedup_clusters
+
+    docs = _docs_parallel(spark, sf_dir)
+    sigs = minhash_signatures(docs, num_hashes=MINHASHES, shingle_k=2)
+    cands = lsh_candidate_pairs(sigs, num_hashes=MINHASHES, band_size=BAND_SIZE)
+    near = ngram_jaccard_pairs(
+        docs, shingle_k=2, threshold=DEDUP_JACCARD, candidates=cands
+    )
+    return dedup_clusters(spark, docs, near)
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_signatures(_tbl(spark, sf_dir, "documents"))
 
@@ -1137,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_signatures": q_minhash_signatures,
         "lsh_dup_pairs": q_lsh_dup_pairs,
         "dedup_survivors": q_dedup_survivors,
+        "dedup_clusters": q_dedup_clusters,
         "ngram_jaccard": q_ngram_jaccard,
         "simhash": q_simhash,
         "ann_topk": q_ann_topk,
@@ -1924,6 +1942,60 @@ cand AS (
 )"""
 
 
+def _dedup_clusters_sql() -> str:
+    """Near-dup transitive closure: the ngram-jaccard verified pairs at
+    the DEDUP_JACCARD threshold, then a recursive reachability closure
+    with min-id labels (algorithm-independent — FastSV's output is a
+    pure function of the pair graph)."""
+    bands = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, sig{2 * b}::VARCHAR || ':' || "
+        f"sig{2 * b + 1}::VARCHAR AS key FROM sigs"
+        for b in range(MINHASHES // BAND_SIZE)
+    )
+    return f"""WITH RECURSIVE {_minhash_sig_select()},
+bands AS (
+  {bands}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+  WHERE a.doc_id < b.doc_id
+),
+sd AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+            generate_series(1, greatest(len(toks) - 1, 1)),
+            i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS sh
+  FROM t
+),
+ex AS (SELECT doc_id, unnest(sh) AS g FROM sd),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM cand c
+  JOIN ex a ON a.doc_id = c.doc_a
+  JOIN ex b ON b.doc_id = c.doc_b AND b.g = a.g
+  GROUP BY c.doc_a, c.doc_b
+),
+near AS (
+  SELECT doc_a, doc_b FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6)
+        >= {DEDUP_JACCARD}
+),
+symp AS (
+  SELECT doc_a AS src, doc_b AS dst FROM near
+  UNION SELECT doc_b, doc_a FROM near
+),
+r(id, reach) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.id, s.dst FROM r JOIN symp s ON s.src = r.reach
+)
+SELECT id AS doc_id, min(reach) AS cluster_id FROM r GROUP BY id"""
+
+
 def _dedup_survivors_sql() -> str:
     from alp_spark.pipeline.dedup import MINHASH_P, minhash_params
 
@@ -2463,6 +2535,7 @@ JOIN sizes sb ON sb.doc_id = doc_b
 WHERE round(n_inter::DOUBLE / (sa.n_sh + sb.n_sh - n_inter), 6) >= {JACCARD_MIN}""",
         "simhash": _simhash_sql(),
         "dedup_survivors": _dedup_survivors_sql(),
+        "dedup_clusters": _dedup_clusters_sql(),
         "ann_topk": f"""WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ),

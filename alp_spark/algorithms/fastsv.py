@@ -57,21 +57,43 @@ def fastsv_components(
     sym_edges: DataFrame,
     n: int,
     max_rounds: int = 0,
+    checkpointer=None,
+    checkpoint_every: int = 10,
+    resume_state: DataFrame | None = None,
+    resume_round: int = 0,
+    vertices: DataFrame | None = None,
 ) -> FastSVResult:
     """Exact connected components of an undirected graph given as a
     symmetric edge table (both directions present, no self-loops).
-    Labels are the minimum vertex id per component."""
+    Labels are the minimum vertex id per component.
+
+    ``vertices`` (one ``id`` column) overrides the default contiguous
+    ``range(n)`` vertex set — ids may then be arbitrary longs (e.g.
+    doc_ids in the near-dup clustering pipeline); ``n`` is ignored.
+
+    Resumable like the Pregel runtime: the parent vector ``f`` is
+    checkpointed with lineage + per-round metrics every
+    ``checkpoint_every`` rounds; a run resumed from any snapshot
+    produces identical labels (each round is a deterministic min-fold
+    of the previous ``f`` over the same edges)."""
     E = sym_edges.select(SRC, DST).repartition(DST).persist()
     E.count()
 
     # f: the parent (Shiloach-Vishkin forest) vector, init f[i] = i
-    f = (
-        spark.range(n)
-        .select(F.col("id").alias(ID), F.col("id").alias("f"))
-        .localCheckpoint(eager=True)
-    )
+    if resume_state is not None:
+        f = resume_state.select(ID, "f").localCheckpoint(eager=True)
+    else:
+        base = (
+            vertices.select(F.col(vertices.columns[0]).alias("id"))
+            if vertices is not None
+            else spark.range(n)
+        )
+        f = (
+            base.select(F.col("id").alias(ID), F.col("id").alias("f"))
+            .localCheckpoint(eager=True)
+        )
 
-    rounds = 0
+    rounds = resume_round
     while True:
         rounds += 1
         # gp[i] = f[f[i]] — parent side is unique-keyed (id), child side
@@ -118,8 +140,13 @@ def fastsv_components(
             F.sum((F.col("_old") != F.col("f")).cast("long")).alias("nch")
         ).collect()[0]
         f = st.select(ID, "f")
-        if int(row["nch"] or 0) == 0 or (max_rounds and rounds >= max_rounds):
+        nch = int(row["nch"] or 0)
+        if checkpointer is not None and rounds % checkpoint_every == 0:
+            checkpointer.save(f, rounds, metrics={"changed": nch})
+        if nch == 0 or (max_rounds and rounds >= max_rounds):
             break
 
+    if checkpointer is not None:
+        checkpointer.save(f, rounds, metrics={"changed": 0}, final=True)
     E.unpersist()
     return FastSVResult(labels=f.select(ID, F.col("f").alias("label")), rounds=rounds)

@@ -19,6 +19,7 @@ from .text import (  # noqa: F401
 )
 from .dedup import (  # noqa: F401
     bucket_pairs,
+    dedup_clusters,
     exact_dedup,
     lsh_candidate_pairs,
     minhash_signatures,

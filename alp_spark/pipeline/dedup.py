@@ -244,3 +244,38 @@ def ngram_jaccard_pairs(
         )
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_clusters(
+    spark,
+    docs: DataFrame,
+    pairs: DataFrame,
+) -> DataFrame:
+    """Transitive near-duplicate clusters over verified dup pairs.
+
+    Greedy pair-drop (``dedup_survivors``) is order-dependent across
+    chains (A~B, B~C but not A~C); production dedup instead computes
+    the TRANSITIVE CLOSURE of the pair graph and keeps one doc per
+    component — the classic union-find-over-LSH-pairs step, here run
+    distributed via FastSV (algorithms/fastsv.py, O(log n) rounds).
+    The pair graph has |verified pairs| edges — candidate-proportional,
+    NOT corpus-proportional, so the closure costs a vanishing fraction
+    of the LSH pass that produced the pairs.
+
+    Returns (doc_id, cluster_id) for EVERY doc in ``docs``; singleton
+    docs are their own cluster; cluster_id = min doc_id of the cluster
+    (the canonical survivor: doc_id == cluster_id).
+    """
+    from ..algorithms.fastsv import fastsv_components
+    from ..containers import DST, SRC
+
+    e = pairs.select(
+        F.col("doc_a").alias(SRC), F.col("doc_b").alias(DST)
+    )
+    sym = e.unionByName(e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST)))
+    res = fastsv_components(
+        spark, sym, 0, vertices=docs.select("doc_id")
+    )
+    return res.labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

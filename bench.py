@@ -35,6 +35,7 @@ HEADLINE = [
     "pagerank5_csr",
     "out_degree",
     "connected_components",
+    "fastsv_cc",
     "triangle_count",
     "label_prop1",
     "khop2",
