@@ -837,6 +837,24 @@ def q_spy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-slice invariant as a driver query: synthesize the
+    Common-Crawl-style pages table (url, warc_ts, html, text, lang) from
+    the sf edge list, run the Arrow-vectorized extractor over html, and
+    emit per url (a) byte-identity of extracted vs golden text — the
+    north-rule per-row invariant — and (b) the extracted out-link count,
+    which the oracle computes independently from the edge table."""
+    from alp_spark.sources.extract import extract_links_udf, extract_text_udf
+    from alp_spark.sources.pages import synthesize_pages
+
+    pages = synthesize_pages(spark, N_V, _edges(spark, sf_dir))
+    return pages.select(
+        "url",
+        (extract_text_udf(F.col("html")) == F.col("text")).alias("text_ok"),
+        F.size(extract_links_udf(F.col("html"))).alias("n_links"),
+    )
+
+
 SESSION_GAP_MIN = 30
 
 
@@ -1162,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": q_lsh_ann_topk,
         "ivf_topk": q_ivf_topk,
         "spy": q_spy,
+        "extract_text": q_extract_text,
         "hpcg": q_hpcg,
         "hpcg2": q_hpcg2,
         "sssp": q_sssp,
@@ -2441,6 +2460,12 @@ SELECT CAST(floor(src / {N_V / SPY_M!r}) AS BIGINT) AS row_blk,
        CAST(floor(dst / {N_V / SPY_M!r}) AS BIGINT) AS col_blk,
        count(*) AS nnz
 FROM edges GROUP BY 1, 2""",
+        "extract_text": f"""WITH {E_SQL},
+outd AS (SELECT src, count(*) AS n FROM edges GROUP BY src)
+SELECT printf('https://site%04d.example/p/%05d', id % 50, id) AS url,
+       true AS text_ok,
+       coalesce(n, 0)::INTEGER AS n_links
+FROM range({N_V}) t(id) LEFT JOIN outd ON outd.src = t.id""",
         "sparse_nn": _sparse_nn_sql(),
         "kcore": _kcore_sql(),
         "label_prop1": _label_prop_sql(1),
