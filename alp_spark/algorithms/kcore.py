@@ -179,12 +179,39 @@ def _kcore_hindex(
         .localCheckpoint(eager=True)
     )
 
+    # frontier mode: h(v) can change in round r only if a neighbour's h
+    # changed in round r-1, so once the change census falls below this,
+    # recompute only N(changed) — both semi-joins broadcast, the edge
+    # table never moves, and late-round cost tracks the frontier rather
+    # than the full edge count (the long tail of the fixpoint is many
+    # rounds × few changes).
+    frontier_threshold = 50_000
+    changed_prev = None  # None = recompute everything
+    nch = None
+
     rounds = 0
     while True:
         rounds += 1
+        if changed_prev is not None and nch is not None and nch <= frontier_threshold:
+            targets = (
+                sym_edges.join(
+                    F.broadcast(changed_prev.select(F.col(ID).alias(SRC))),
+                    on=SRC,
+                    how="left_semi",
+                )
+                .select(F.col(DST).alias(ID))
+                .distinct()
+            )
+            ef = sym_edges.join(
+                F.broadcast(targets.select(F.col(ID).alias(DST))),
+                on=DST,
+                how="left_semi",
+            )
+        else:
+            ef = sym_edges
         hs = h.select(F.col(ID).alias(SRC), F.col("h").alias("_hs"))
         hist = (
-            sym_edges.join(hs, on=SRC)
+            ef.join(hs, on=SRC)
             .groupBy(F.col(DST).alias(ID), F.col("_hs").alias("_c"))
             .agg(F.count("*").alias("_m"))
         )
@@ -205,9 +232,15 @@ def _kcore_hindex(
             .select(
                 ID,
                 F.col("h").alias("_old"),
-                F.least(
-                    F.col("h"), F.coalesce("_hnew", F.lit(0))
-                ).alias("h"),
+                # null _hnew = not recomputed this round (frontier mode)
+                # or edge-less vertex (full mode, where h is already its
+                # fixpoint 0) — keep h either way
+                F.when(
+                    F.col("_hnew").isNotNull(),
+                    F.least(F.col("h"), F.col("_hnew")),
+                )
+                .otherwise(F.col("h"))
+                .alias("h"),
             )
             .localCheckpoint(eager=False)
         )
@@ -216,7 +249,9 @@ def _kcore_hindex(
             F.max("h").alias("mx"),
         ).collect()[0]
         h = st.select(ID, "h")
-        if int(row["nch"] or 0) == 0 or (max_rounds and rounds >= max_rounds):
+        nch = int(row["nch"] or 0)
+        changed_prev = st.where(F.col("_old") != F.col("h")).select(ID)
+        if nch == 0 or (max_rounds and rounds >= max_rounds):
             break
 
     sym_edges.unpersist()
