@@ -184,7 +184,13 @@ def _kcore_hindex(
     # recompute only N(changed) — both semi-joins broadcast, the edge
     # table never moves, and late-round cost tracks the frontier rather
     # than the full edge count (the long tail of the fixpoint is many
-    # rounds × few changes).
+    # rounds × few changes). Fixed 50k, measured on the 158.6M-edge
+    # Zipf graph (BASELINE.md r5): full engine 817 s, 50k threshold
+    # 629 s; an adaptive n/8 (=500k) threshold REGRESSED to 746 s —
+    # when the census is still a sizeable fraction of n, N(changed)
+    # covers nearly the whole graph, so the two semi-joins prune
+    # nothing and just add broadcast + filter cost. Switch late: the
+    # frontier pays only when the frontier is genuinely small.
     frontier_threshold = 50_000
     changed_prev = None  # None = recompute everything
     nch = None
