@@ -56,16 +56,38 @@ def kcore_decomposition(
     max_rounds: int = 0,
     broadcast_threshold: int = BROADCAST_NNZ_THRESHOLD,
     method: str = "hindex",
+    checkpointer=None,
+    checkpoint_every: int = 10,
+    resume_state: DataFrame | None = None,
+    resume_round: int = 0,
+    frontier_min_edges: int = 20_000_000,
 ) -> KCoreResult:
     """Coreness per vertex over an undirected graph given as a
     symmetric edge table (both directions present, no self-loops).
     ``method``: 'hindex' (few rounds; the at-scale default) or 'peel'
-    (the reference's literal level loop) — identical outputs."""
+    (the reference's literal level loop) — identical outputs.
+    ``frontier_min_edges``: minimum symmetric edge count before the
+    h-index engine's frontier mode engages (below it a full round is
+    near the job floor and frontier bookkeeping costs more than it
+    saves — measured in BASELINE.md r5); tests pass 0 to force it.
+
+    The h-index engine is resumable like the Pregel runtime: the h
+    vector is checkpointed with lineage + per-round metrics every
+    ``checkpoint_every`` rounds; a resumed run's first round is a full
+    recompute (the frontier set is not persisted — correct because a
+    full round is always exact) and converges to identical coreness."""
     if method not in ("hindex", "peel"):
         raise ValueError("method must be 'hindex' or 'peel'")
     if method == "hindex":
         # hindex persists its own src-partitioned layout
-        return _kcore_hindex(spark, sym_edges, n, max_rounds)
+        return _kcore_hindex(
+            spark, sym_edges, n, max_rounds,
+            checkpointer=checkpointer, checkpoint_every=checkpoint_every,
+            resume_state=resume_state, resume_round=resume_round,
+            frontier_min_edges=frontier_min_edges,
+        )
+    if checkpointer is not None or resume_state is not None:
+        raise ValueError("checkpoint/resume is supported by method='hindex'")
     we_persisted = False
     if not sym_edges.storageLevel.useMemory:
         sym_edges = sym_edges.persist()
@@ -150,6 +172,11 @@ def _kcore_hindex(
     sym_edges: DataFrame,
     n: int,
     max_rounds: int,
+    checkpointer=None,
+    checkpoint_every: int = 10,
+    resume_state: DataFrame | None = None,
+    resume_round: int = 0,
+    frontier_min_edges: int = 20_000_000,
 ) -> KCoreResult:
     """Iterated h-index to the fixpoint (module docstring; Lü et al.
     2016). h is monotonically non-increasing per vertex, so the change
@@ -168,16 +195,19 @@ def _kcore_hindex(
     sym_edges = sym_edges.repartition(SRC)
     sym_edges = sym_edges.persist()
 
-    deg = sym_edges.groupBy(F.col(SRC).alias(ID)).agg(
-        F.count("*").alias("h")
-    )
-    h = (
-        spark.range(n)
-        .select(F.col("id").alias(ID))
-        .join(deg, on=ID, how="left")
-        .select(ID, F.coalesce("h", F.lit(0)).alias("h"))
-        .localCheckpoint(eager=True)
-    )
+    if resume_state is not None:
+        h = resume_state.select(ID, "h").localCheckpoint(eager=True)
+    else:
+        deg = sym_edges.groupBy(F.col(SRC).alias(ID)).agg(
+            F.count("*").alias("h")
+        )
+        h = (
+            spark.range(n)
+            .select(F.col("id").alias(ID))
+            .join(deg, on=ID, how="left")
+            .select(ID, F.coalesce("h", F.lit(0)).alias("h"))
+            .localCheckpoint(eager=True)
+        )
 
     # frontier mode: h(v) can change in round r only if a neighbour's h
     # changed in round r-1, so once the change census falls below this,
@@ -191,14 +221,28 @@ def _kcore_hindex(
     # covers nearly the whole graph, so the two semi-joins prune
     # nothing and just add broadcast + filter cost. Switch late: the
     # frontier pays only when the frontier is genuinely small.
+    #
+    # Also gated on edge count: below ~20M symmetric edges a full round
+    # is already near the Spark job floor, and the frontier's extra
+    # jobs (targets distinct + two broadcast builds) cost MORE than
+    # they save — measured at graphscale 100k/4.7M edges: 29 s full vs
+    # 39 s frontier; at 1M/47M edges frontier wins (116 → 100 s) and at
+    # 158.6M edges it wins 817 → 629 s.
     frontier_threshold = 50_000
-    changed_prev = None  # None = recompute everything
+    m_sym = sym_edges.count()  # also materializes the persist
+    frontier_enabled = m_sym >= frontier_min_edges
+    changed_prev = None  # None = recompute everything (also on resume)
     nch = None
 
-    rounds = 0
+    rounds = resume_round
     while True:
         rounds += 1
-        if changed_prev is not None and nch is not None and nch <= frontier_threshold:
+        if (
+            frontier_enabled
+            and changed_prev is not None
+            and nch is not None
+            and nch <= frontier_threshold
+        ):
             targets = (
                 sym_edges.join(
                     F.broadcast(changed_prev.select(F.col(ID).alias(SRC))),
@@ -257,9 +301,19 @@ def _kcore_hindex(
         h = st.select(ID, "h")
         nch = int(row["nch"] or 0)
         changed_prev = st.where(F.col("_old") != F.col("h")).select(ID)
+        if checkpointer is not None and rounds % checkpoint_every == 0:
+            checkpointer.save(
+                h, rounds, metrics={"changed": nch, "max_h": int(row["mx"] or 0)}
+            )
         if nch == 0 or (max_rounds and rounds >= max_rounds):
             break
 
+    if checkpointer is not None:
+        checkpointer.save(
+            h, rounds,
+            metrics={"changed": nch, "max_h": int(row["mx"] or 0)},
+            final=True,
+        )
     sym_edges.unpersist()
     return KCoreResult(
         cores=h.select(ID, F.col("h").alias("core")),

@@ -278,3 +278,66 @@ def test_ppr_uniform_teleport_equals_standard(spark):
     np.testing.assert_allclose(
         [ga[i] for i in range(n)], [gb[i] for i in range(n)], rtol=1e-12
     )
+
+
+def test_kcore_resume_equals_uninterrupted(spark, tmp_path):
+    # kill at round 2, resume from the checkpoint: identical coreness
+    # and total round count (each round's h vector is a deterministic
+    # function of the previous one, frontier or full)
+    import random
+
+    from alp_spark.algorithms.kcore import kcore_decomposition
+    from alp_spark.checkpoint import ParquetCheckpointer
+
+    rng = random.Random(11)
+    n = 50
+    und = {(i, (i + 1) % 30) for i in range(30)}
+    for _ in range(80):
+        a, b = rng.randrange(30), rng.randrange(30)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    for i in range(30, 40):
+        und.add((i - 1, i))
+    sym = sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    E = edges_df(spark, sym)
+
+    full = kcore_decomposition(spark, E, n)
+    ck = ParquetCheckpointer(str(tmp_path), run_id="kcore-test")
+    kcore_decomposition(spark, E, n, checkpointer=ck, checkpoint_every=1,
+                        max_rounds=2)
+    ck2 = ParquetCheckpointer.attach(str(tmp_path), "kcore-test")
+    state, rec = ck2.load(spark, superstep=2)
+    resumed = kcore_decomposition(
+        spark, E, n, resume_state=state, resume_round=rec["superstep"]
+    )
+    got_f = {r["id"]: r["core"] for r in full.cores.collect()}
+    got_r = {r["id"]: r["core"] for r in resumed.cores.collect()}
+    assert got_f == got_r
+    assert resumed.rounds == full.rounds
+    assert all("changed" in r["metrics"] for r in ck2.lineage())
+
+
+def test_kcore_frontier_path_exact(spark):
+    # frontier_min_edges=0 forces frontier mode from the first eligible
+    # round; coreness must match the default (full-round) engine and
+    # the oracle exactly
+    import random
+
+    from alp_spark.algorithms.kcore import kcore_decomposition
+
+    rng = random.Random(23)
+    n = 70
+    und = {(i, (i + 1) % 50) for i in range(50)}
+    for _ in range(150):
+        a, b = rng.randrange(50), rng.randrange(50)
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    for i in range(50, 60):
+        und.add((i - 1, i))
+    sym = sorted({(a, b) for a, b in und} | {(b, a) for a, b in und})
+    E = edges_df(spark, sym)
+    fr = kcore_decomposition(spark, E, n, frontier_min_edges=0)
+    got = {r["id"]: r["core"] for r in fr.cores.collect()}
+    from .oracles import kcore as kcore_oracle
+    want = kcore_oracle(n, sym)
+    assert [got[i] for i in range(n)] == list(want)
