@@ -8,19 +8,24 @@ i.e. Bellman-Ford. Per round:
 
     x' = min(x, (min,+)-vxm of x along edges)
 
-expressed as ONE mxv over B = A ∪ diag(0) (the diagonal carries the
-min-plus multiplicative identity 0, so keeping your current distance
-is "traverse the self-loop for free" — the add_identity trick of
-knn.hpp:129-135 transplanted to the weighted ring). The frontier is
-sparse: unreached vertices are structurally absent (distance = the
-ring zero, +inf), so early rounds touch only the reached
-neighbourhood — the same frontier-proportional shape as the Pregel
-runtime. Rounds are bounded by the shortest-path hop radius
-(≤ n−1 on any graph without negative cycles).
+with the min fold against the running distance vector playing the
+role of the diag(0) self-loop (the add_identity trick of
+knn.hpp:129-135). The relaxation frontier is the DELTA frontier:
+only out-edges of vertices whose distance CHANGED last round are
+relaxed (the queue-based Bellman-Ford refinement) — exact, because a
+vertex that did not change contributed the same values in the round
+after it last changed and min is idempotent. Per-round support,
+values, and total round count are identical to full re-relaxation;
+per-round COST tracks |changed|'s out-edges instead of |reached|'s,
+which is the difference between wavefront-proportional and
+corpus-proportional once the reached set saturates. The driver-known
+census feeds ``mxv(frontier_nnz=...)`` so a small frontier broadcasts
+(zero edge movement). Rounds are bounded by the shortest-path hop
+radius (≤ n−1 on any graph without negative cycles).
 
 Scale: each round is one shuffle agg (map-side MIN combine) over the
-current frontier's out-edges plus one O(frontier) fixpoint check;
-lazy localCheckpoint keeps lineage flat, 1-2 jobs per round.
+changed frontier's out-edges plus one O(frontier) census action;
+lazy localCheckpoint keeps lineage flat.
 """
 
 from __future__ import annotations
@@ -59,29 +64,39 @@ def sssp(
         # pattern matrix: every edge costs the ring one (0.0) — mirrors
         # mpv3's pattern-ring convention
         A = A.withColumn(VAL, F.lit(0.0))
-    diag = spark.range(n).select(
-        F.col("id").alias(SRC), F.col("id").alias(DST), F.lit(0.0).alias(VAL)
-    )
-    B = A.select(SRC, DST, F.col(VAL).cast("double")).unionByName(diag)
+    B = A.select(SRC, DST, F.col(VAL).cast("double")).persist()
 
     x = spark.createDataFrame([(source, 0.0)], vector_schema("double"))
+    changed = x
+    nch = 1
+    inf = F.lit(float("inf"))
     limit = max_rounds if max_rounds is not None else max(n - 1, 1)
     rounds, converged = 0, False
     while rounds < limit:
-        nx = mxv(B, x, alg.MIN_PLUS, transpose=True).localCheckpoint(eager=False)
-        rounds += 1
-        # exact fixpoint: same support, same values
-        changed = (
-            nx.join(x.select(ID, F.col(VAL).alias("_old")), on=ID, how="full")
-            .where(
-                F.col(VAL).isNull()
-                | F.col("_old").isNull()
-                | (F.col(VAL) != F.col("_old"))
-            )
-            .count()
+        relax = mxv(
+            B, changed, alg.MIN_PLUS, transpose=True, frontier_nnz=nch
         )
-        x = nx
-        if changed == 0:
+        rounds += 1
+        merged = (
+            x.select(ID, F.col(VAL).alias("_old"))
+            .join(relax.select(ID, F.col(VAL).alias("_new")), on=ID, how="full")
+            .select(
+                ID,
+                F.least(
+                    F.coalesce("_old", inf), F.coalesce("_new", inf)
+                ).alias(VAL),
+                (
+                    F.col("_old").isNull()
+                    | (F.coalesce("_new", inf) < F.col("_old"))
+                ).alias("_ch"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        nch = merged.where("_ch").count()
+        changed = merged.where("_ch").select(ID, VAL)
+        x = merged.select(ID, VAL)
+        if nch == 0:
             converged = True
             break
+    B.unpersist()
     return SsspResult(dists=x, rounds=rounds, converged=converged)

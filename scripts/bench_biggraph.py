@@ -48,6 +48,8 @@ def main() -> None:
         fastsv_components,
         kcore_decomposition,
     )
+    from alp_spark.algorithms.sssp import sssp
+    from alp_spark.containers import VAL
     from alp_spark.containers import DST, SRC
     from alp_spark.session import get_spark
 
@@ -80,6 +82,17 @@ def main() -> None:
             res = kcore_decomposition(spark, Esym, args.n)
             res.cores.count()
             rounds = getattr(res, "rounds", None)
+        elif q == "sssp":
+            # deterministic per-edge weights, the bench_graphscale recipe
+            w = ((F.col(SRC) * 7 + F.col(DST) * 13) % 10) / 10.0 + 0.1
+            res = sssp(
+                spark,
+                spark.read.parquet(args.path).select(SRC, DST, w.alias(VAL)),
+                args.n,
+                0,
+            )
+            res.dists.count()
+            rounds = res.rounds
         else:
             raise SystemExit(f"unknown query {q}")
         sec = round(time.time() - t0, 3)
