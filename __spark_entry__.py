@@ -71,6 +71,8 @@ KCORE_SQL_ROUNDS = 110  # ≥ the 96 peel rounds the sf0.01 graph needs;
 # extra rounds are no-ops (all peeled → anypeel=0 → only k increments)
 KNN_SOURCE = 7
 LP_SEEDS = 50
+HITS_ITERS = 5  # pinned HITS round budget (oracle-unrollable)
+LINKPRED_TOPK = 2000  # deterministic: ranked by exact int common, (u,v) ties
 KM_K = 4  # kmeans clusters
 KM_SEED = 11  # kpp RNG seed (reference uses wall-clock; see kmeans.py)
 KM_N = 500  # embeddings rows — identical at every driver sf, so the
@@ -468,6 +470,62 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Masked SpGEMM triangles (degree-oriented wedge join)."""
     res = triangle_count(_sym_edges(spark, sf_dir))
     return spark.createDataFrame([(res.total,)], "triangles long")
+
+
+def q_hits5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities pinned to 5 rounds: two (plus, times)
+    vxm SpMVs per round (base/blas2.hpp:307 vocabulary) + 2-norm folds,
+    the canonical PageRank companion on web link graphs."""
+    from alp_spark.algorithms.hits import hits
+
+    res = hits(spark, _edges(spark, sf_dir), N_V, iters=HITS_ITERS)
+    v = spark.range(N_V).select(F.col("id").alias(ID))
+    a = res.auth.select(ID, F.col(VAL).alias("_a"))
+    h = res.hubs.select(ID, F.col(VAL).alias("_h"))
+    return (
+        v.join(a, on=ID, how="left")
+        .join(h, on=ID, how="left")
+        .select(
+            ID,
+            F.round(F.coalesce("_a", F.lit(0.0)), 6).alias("authority"),
+            F.round(F.coalesce("_h", F.lit(0.0)), 6).alias("hub"),
+        )
+    )
+
+
+def q_link_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the symmetrised graph: top-K non-adjacent
+    two-hop pairs by common-neighbour count with Jaccard and
+    Adamic-Adar scores (wedge machinery, the triangle-count join
+    shape). Deterministic top-K: common is an exact integer and ties
+    break on (u, v)."""
+    from alp_spark.algorithms.linkpred import link_prediction_scores
+
+    scores = link_prediction_scores(_sym_edges(spark, sf_dir), min_common=2)
+    return (
+        scores.orderBy(F.col("common").desc(), "u", "v")
+        .limit(LINKPRED_TOPK)
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round("jaccard", 6).alias("jaccard"),
+            F.round("adamic_adar", 6).alias("adamic_adar"),
+        )
+    )
+
+
+def q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Component-size rollup over FastSV labels — the post-CC query
+    every link-graph user runs next (component census)."""
+    from alp_spark.algorithms.fastsv import fastsv_components
+
+    res = fastsv_components(spark, _sym_edges(spark, sf_dir), N_V)
+    return (
+        res.labels.groupBy("label")
+        .agg(F.count("*").alias("size"))
+        .select(F.col("label").alias("component"), "size")
+    )
 
 
 def q_khop2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1150,7 +1208,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore": q_kcore,
         "connected_components": q_connected_components,
         "fastsv_cc": q_fastsv_cc,
+        "cc_sizes": q_cc_sizes,
         "triangle_count": q_triangle_count,
+        "hits5": q_hits5,
+        "link_predict": q_link_predict,
         "khop2": q_khop2,
         "mpv3_minplus": q_mpv3_minplus,
         "label_prop1": q_label_prop1,
@@ -1225,6 +1286,46 @@ v AS (SELECT id FROM range({n}) t(id)),
 p0 AS (SELECT id, 1.0 / {n} AS rank FROM v),
 {joined}
 SELECT id, round(rank, 6) AS rank{final_extra} FROM {prev}"""
+
+
+def _hits_sql(iters: int = HITS_ITERS) -> str:
+    """Unrolled HITS: per round an authority SpMV (join src, group dst)
+    + 2-norm scale, then a hub SpMV (join dst, group src) + 2-norm
+    scale — mirroring algorithms/hits.py step for step."""
+    steps = []
+    prev_h = "h0"
+    for k in range(1, iters + 1):
+        # MATERIALIZED: each a{k}r/h{k}r is referenced twice (FROM + the
+        # scalar-norm subquery); without it DuckDB inlines the CTE and
+        # re-expands the whole iteration chain exponentially.
+        steps.append(f"""a{k}r AS MATERIALIZED (
+  SELECT e.dst AS id, sum(h.val) AS val
+  FROM {prev_h} h JOIN edges e ON e.src = h.id GROUP BY e.dst
+),
+a{k} AS MATERIALIZED (
+  SELECT id, val / (SELECT sqrt(sum(val * val)) FROM a{k}r) AS val
+  FROM a{k}r
+),
+h{k}r AS MATERIALIZED (
+  SELECT e.src AS id, sum(a.val) AS val
+  FROM a{k} a JOIN edges e ON e.dst = a.id GROUP BY e.src
+),
+h{k} AS MATERIALIZED (
+  SELECT id, val / (SELECT sqrt(sum(val * val)) FROM h{k}r) AS val
+  FROM h{k}r
+)""")
+        prev_h = f"h{k}"
+    joined = ",\n".join(steps)
+    return f"""WITH {E_SQL},
+v AS (SELECT id FROM range({N_V}) t(id)),
+h0 AS (SELECT id, 1.0 AS val FROM v),
+{joined}
+SELECT v.id,
+       round(coalesce(a.val, 0), 6) AS authority,
+       round(coalesce(h.val, 0), 6) AS hub
+FROM v
+LEFT JOIN a{iters} a ON a.id = v.id
+LEFT JOIN h{iters} h ON h.id = v.id"""
 
 
 def _ppr5_sql() -> str:
@@ -2342,6 +2443,38 @@ r(id, reach) AS (
   SELECT r.id, s.dst FROM r JOIN sym s ON s.src = r.reach
 )
 SELECT id, min(reach) AS label FROM r GROUP BY id""",
+        "cc_sizes": f"""WITH RECURSIVE {E_SQL},
+{SYM_SQL},
+r(id, reach) AS (
+  SELECT id, id FROM range({N_V}) t(id)
+  UNION
+  SELECT r.id, s.dst FROM r JOIN sym s ON s.src = r.reach
+),
+lab AS (SELECT id, min(reach) AS label FROM r GROUP BY id)
+SELECT label AS component, count(*) AS size FROM lab GROUP BY label""",
+        "hits5": _hits_sql(),
+        "link_predict": f"""WITH {E_SQL},
+{SYM_SQL},
+deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+w AS (
+  SELECT a.dst AS u, b.dst AS v, count(*) AS common,
+         sum(1.0 / ln(dc.d)) AS aa
+  FROM sym a JOIN sym b ON a.src = b.src AND a.dst < b.dst
+  JOIN deg dc ON dc.src = a.src
+  GROUP BY a.dst, b.dst
+  HAVING count(*) >= 2
+),
+na AS (
+  SELECT w.* FROM w WHERE NOT EXISTS (
+    SELECT 1 FROM sym s WHERE s.src = w.u AND s.dst = w.v)
+),
+top AS (SELECT * FROM na ORDER BY common DESC, u, v LIMIT {LINKPRED_TOPK})
+SELECT u, v, common,
+       round(common::DOUBLE / (du.d + dv.d - common), 6) AS jaccard,
+       round(aa, 6) AS adamic_adar
+FROM top
+JOIN deg du ON du.src = top.u
+JOIN deg dv ON dv.src = top.v""",
         "triangle_count": f"""WITH {E_SQL},
 {SYM_SQL},
 deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),

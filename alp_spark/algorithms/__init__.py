@@ -2,7 +2,9 @@
 
 from .connected_components import connected_components  # noqa: F401
 from .fastsv import fastsv_components  # noqa: F401
+from .hits import hits  # noqa: F401
 from .hpcg import build_hpcg_system, hpcg  # noqa: F401
+from .linkpred import link_prediction_scores  # noqa: F401
 from .kcore import kcore_decomposition  # noqa: F401
 from .kmeans import kmeans, kpp_initialisation  # noqa: F401
 from .label_propagation import label_propagation  # noqa: F401
