@@ -37,6 +37,7 @@ HEADLINE = [
     "connected_components",
     "fastsv_cc",
     "triangle_count",
+    "hits5",
     "label_prop1",
     "khop2",
     "exact_dedup",

@@ -82,6 +82,15 @@ def main() -> None:
             res = kcore_decomposition(spark, Esym, args.n)
             res.cores.count()
             rounds = getattr(res, "rounds", None)
+        elif q == "hits":
+            from alp_spark.algorithms.hits import hits
+
+            res = hits(
+                spark, spark.read.parquet(args.path), args.n, iters=5
+            )
+            res.auth.count()
+            res.hubs.count()
+            rounds = res.rounds
         elif q == "sssp":
             # deterministic per-edge weights, the bench_graphscale recipe
             w = ((F.col(SRC) * 7 + F.col(DST) * 13) % 10) / 10.0 + 0.1

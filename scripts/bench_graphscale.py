@@ -113,6 +113,25 @@ def _queries():
             spark, sym, y0, n, l=seeds, max_iterations=2
         ).labels
 
+    def q_hits5(spark, E, Esym, n):
+        from alp_spark.algorithms.hits import hits
+
+        return hits(spark, E, n, iters=5).auth
+
+    def q_link_predict(spark, E, Esym, n):
+        # hub cap 256: wedge work is Sum(deg^2) over centres, and the
+        # fixed 64-vertex hub set's degrees grow linearly with scale —
+        # uncapped, hubs alone contribute quadratically-growing wedges
+        from alp_spark.algorithms.linkpred import link_prediction_scores
+
+        return (
+            link_prediction_scores(
+                Esym, min_common=2, max_center_degree=256
+            )
+            .orderBy(F.col("common").desc(), "u", "v")
+            .limit(2000)
+        )
+
     return {
         "pagerank5": q_pagerank5,
         "pagerank5_csr": q_pagerank5_csr,
@@ -122,6 +141,8 @@ def _queries():
         "khop2": q_khop2,
         "sssp": q_sssp,
         "label_prop1": q_label_prop1,
+        "hits5": q_hits5,
+        "link_predict": q_link_predict,
     }
 
 
