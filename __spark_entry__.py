@@ -28,6 +28,7 @@ from alp_spark.algorithms.label_propagation import label_propagation
 from alp_spark.algorithms.mpv import knn, mpv
 from alp_spark.algorithms.pregel_pagerank import pregel_pagerank
 from alp_spark.algorithms.kcore import kcore_decomposition
+from alp_spark.algorithms.mis import PRIO_MOD, PRIO_MULT
 from alp_spark.algorithms.simple_pagerank import simple_pagerank, simple_pagerank_csr
 from alp_spark.algorithms.triangles import triangle_count
 from alp_spark.containers import DST, ID, SRC, VAL, set_dense
@@ -72,6 +73,11 @@ KCORE_SQL_ROUNDS = 110  # ≥ the 96 peel rounds the sf0.01 graph needs;
 KNN_SOURCE = 7
 LP_SEEDS = 50
 HITS_ITERS = 5  # pinned HITS round budget (oracle-unrollable)
+N_HOSTS = 50  # sources/pages.py:N_DOMAINS — hosts in the ingest url scheme
+# Luby MIS all-decides in 3 rounds on the sf0.01 fixture graph (2 at
+# sf0.001 — measured once, like PPR_CONV_UPDATES); extra unrolled
+# rounds are exact no-ops, so 8 gives headroom for other fixture scales.
+MIS_SQL_ROUNDS = 8
 LINKPRED_TOPK = 2000  # deterministic: ranked by exact int common, (u,v) ties
 KM_K = 4  # kmeans clusters
 KM_SEED = 11  # kpp RNG seed (reference uses wall-clock; see kmeans.py)
@@ -526,6 +532,114 @@ def q_cc_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("size"))
         .select(F.col("label").alias("component"), "size")
     )
+
+
+def q_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity |E ∩ Eᵀ| / |E| — the classic directed web-graph
+    structure metric, expressed as matrix eWiseApply intersection with
+    the transposed matrix (reference/blas3.hpp:927 structure-∩ rule)
+    plus two scalar folds."""
+    from alp_spark.operators.blas3 import e_wise_apply_matrix
+
+    e = _edges(spark, sf_dir)
+    et = e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
+    recip = e_wise_apply_matrix(e, et, alg.any_or)
+    return (
+        recip.agg(F.count("*").alias("_r"))
+        .crossJoin(e.agg(F.count("*").alias("m")))
+        .select(
+            F.round(F.col("_r").cast("double") / F.col("m"), 6).alias(
+                "reciprocity"
+            ),
+            F.col("m").cast("long").alias("m"),
+        )
+    )
+
+
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed degree assortativity: Pearson correlation of (src
+    out-degree, dst in-degree) over edges (Newman 2002). Degrees come
+    from the engine's vxm pattern rings; the correlation is one
+    map-side-combined co-moment aggregate — no shuffle beyond the two
+    degree joins."""
+    e = _edges(spark, sf_dir)
+    od = _out_degree(spark, sf_dir).select(
+        F.col(ID).alias(SRC), F.col(VAL).alias("_od")
+    )
+    idg = _in_degree(spark, sf_dir).select(
+        F.col(ID).alias(DST), F.col(VAL).alias("_id")
+    )
+    return (
+        e.join(od, on=SRC)
+        .join(idg, on=DST)
+        .agg(F.round(F.corr("_od", "_id"), 6).alias("assortativity"))
+    )
+
+
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex (Watts-Strogatz) on the
+    symmetrised graph — per-vertex triangles over the oriented masked
+    SpGEMM (the triangle_count machinery) normalised by deg·(deg−1)/2."""
+    from alp_spark.algorithms.triangles import local_clustering
+
+    return local_clustering(_sym_edges(spark, sf_dir))
+
+
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The webtext rollup: parse each page url's HOST (the ingest url
+    scheme, sources/pages.py:url_of), coarsen the page graph to the
+    50-host weighted graph (algorithms/coarsen.py — quotient-matrix
+    construction), and run WEIGHTED PageRank pinned to 5 iterations
+    (rank flows ∝ edge multiplicity / out-weight; simple_pagerank
+    auto-detects the weighted matrix). At 10^12 pages the coarse graph
+    is ~10^7 hosts — the rollup is one groupBy shuffle and the
+    iteration runs on the small graph."""
+    from alp_spark.algorithms.coarsen import coarsen_edges
+    from alp_spark.sources.pages import N_DOMAINS
+
+    urls = spark.range(N_V).select(
+        F.col("id").alias(ID),
+        F.format_string(
+            "https://site%04d.example/p/%05d",
+            F.col("id") % N_DOMAINS,
+            F.col("id"),
+        ).alias("url"),
+    )
+    host = F.parse_url(F.col("url"), F.lit("HOST"))
+    mapping = urls.select(
+        ID,
+        F.regexp_extract(host, r"^site(\d+)\.example$", 1)
+        .cast("long")
+        .alias("group"),
+    )
+    he = coarsen_edges(_edges(spark, sf_dir), mapping=mapping)
+    res = simple_pagerank(
+        spark, he, N_DOMAINS, alpha=0.85, conv=0.0, max_iter=PR_ITERS
+    )
+    return res.ranks.select(
+        F.format_string("site%04d.example", F.col(ID)).alias("host"),
+        F.round(VAL, 6).alias("rank"),
+    )
+
+
+def q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luby maximal independent set on the symmetrised graph with
+    deterministic multiplicative-hash priorities (algorithms/mis.py) —
+    the distributed symmetry-breaking primitive; the unique greedy MIS
+    under the priority order, so the oracle unrolls the same rounds."""
+    from alp_spark.algorithms.mis import maximal_independent_set
+
+    res = maximal_independent_set(spark, _sym_edges(spark, sf_dir), N_V)
+    return res.members.select(F.col(ID).cast("long").alias(ID))
+
+
+def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters per document
+    (pipeline/text.py:repetition_stats): duplicate-token fraction and
+    top-bigram fraction — the pre-training corpus repetition signals."""
+    from alp_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(_tbl(spark, sf_dir, "documents"))
 
 
 def q_khop2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1212,6 +1326,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangle_count": q_triangle_count,
         "hits5": q_hits5,
         "link_predict": q_link_predict,
+        "reciprocity": q_reciprocity,
+        "assortativity": q_assortativity,
+        "clustering_coeff": q_clustering_coeff,
+        "host_pagerank": q_host_pagerank,
+        "mis": q_mis,
+        "rep_stats": q_rep_stats,
         "khop2": q_khop2,
         "mpv3_minplus": q_mpv3_minplus,
         "label_prop1": q_label_prop1,
@@ -1416,6 +1536,89 @@ s0 AS (
 ),
 {joined}
 SELECT id, round(score, 6) AS score FROM {prev}"""
+
+
+def _host_pagerank_sql(iters: int = PR_ITERS) -> str:
+    """Unrolled WEIGHTED PageRank over the coarsened host graph.
+    ``hedges`` replays coarsen_edges + the url→host mapping arithmetic
+    (host of page id = id % N_HOSTS by the ingest url scheme,
+    sources/pages.py:url_of); rank flows ∝ w / Σ_out w."""
+    h, a = N_HOSTS, 0.85
+    steps = []
+    prev = "p0"
+    for k in range(1, iters + 1):
+        steps.append(f"""p{k} AS (
+  SELECT v.id,
+         coalesce(s.contrib, 0)
+         + ({a} * (SELECT coalesce(sum(p.rank), 0) FROM {prev} p
+                   LEFT JOIN outw o ON p.id = o.src WHERE o.src IS NULL)
+            + {1 - a}) / {h} AS rank
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank * ({a} * e.w / o.sw)) AS contrib
+    FROM {prev} p JOIN outw o ON p.id = o.src JOIN hedges e ON e.src = p.id
+    GROUP BY e.dst
+  ) s ON v.id = s.id
+)""")
+        prev = f"p{k}"
+    joined = ",\n".join(steps)
+    return f"""WITH {E_SQL},
+hedges AS (
+  SELECT src % {N_HOSTS} AS src, dst % {N_HOSTS} AS dst,
+         count(*)::DOUBLE AS w
+  FROM edges WHERE src % {N_HOSTS} <> dst % {N_HOSTS} GROUP BY 1, 2
+),
+outw AS (SELECT src, sum(w) AS sw FROM hedges GROUP BY src),
+v AS (SELECT id FROM range({h}) t(id)),
+p0 AS (SELECT id, 1.0 / {h} AS rank FROM v),
+{joined}
+SELECT printf('site%04d.example', id) AS host, round(rank, 6) AS rank
+FROM {prev}"""
+
+
+def _mis_sql(rounds: int) -> str:
+    """Unrolled deterministic-priority Luby MIS (algorithms/mis.py).
+    Rounds beyond the fixpoint are no-ops (no undecided vertices → no
+    winners → state unchanged), so ``rounds`` only needs to be ≥ the
+    measured count. MATERIALIZED pins each per-round CTE — the state
+    is referenced four times per round and DuckDB would otherwise
+    inline it into an exponentially-expanding tree (the _hits_sql
+    lesson)."""
+    steps = []
+    prev = "s0"
+    for k in range(1, rounds + 1):
+        steps.append(f"""m{k} AS MATERIALIZED (
+  SELECT e.src AS id, min(u2.p) AS mn
+  FROM sym e
+  JOIN {prev} u2 ON u2.id = e.dst AND u2.st = 0
+  JOIN {prev} u1 ON u1.id = e.src AND u1.st = 0
+  GROUP BY e.src
+),
+w{k} AS MATERIALIZED (
+  SELECT s.id FROM {prev} s LEFT JOIN m{k} m ON s.id = m.id
+  WHERE s.st = 0 AND (m.mn IS NULL OR s.p < m.mn)
+),
+nb{k} AS MATERIALIZED (
+  SELECT DISTINCT e.dst AS id FROM sym e JOIN w{k} w ON e.src = w.id
+),
+s{k} AS MATERIALIZED (
+  SELECT s.id, s.p,
+         CASE WHEN s.st <> 0 THEN s.st
+              WHEN w.id IS NOT NULL THEN 1
+              WHEN n.id IS NOT NULL THEN 2
+              ELSE 0 END AS st
+  FROM {prev} s LEFT JOIN w{k} w ON s.id = w.id
+  LEFT JOIN nb{k} n ON s.id = n.id
+)""")
+        prev = f"s{k}"
+    joined = ",\n".join(steps)
+    return f"""WITH {E_SQL},
+{SYM_SQL},
+s0 AS MATERIALIZED (
+  SELECT id, (id * {PRIO_MULT}) % {PRIO_MOD} AS p, 0 AS st
+  FROM range({N_V}) t(id)
+),
+{joined}
+SELECT id FROM {prev} WHERE st = 1"""
 
 
 def _label_prop_sql(rounds: int) -> str:
@@ -2475,6 +2678,63 @@ SELECT u, v, common,
 FROM top
 JOIN deg du ON du.src = top.u
 JOIN deg dv ON dv.src = top.v""",
+        "reciprocity": f"""WITH {E_SQL},
+r AS (SELECT count(*)::DOUBLE AS c
+      FROM edges e JOIN edges x ON e.src = x.dst AND e.dst = x.src),
+t AS (SELECT count(*) AS m FROM edges)
+SELECT round(r.c / t.m, 6) AS reciprocity, t.m::BIGINT AS m FROM r, t""",
+        "assortativity": f"""WITH {E_SQL},
+od AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+ind AS (SELECT dst, count(*)::DOUBLE AS d FROM edges GROUP BY dst)
+SELECT round(corr(od.d, ind.d), 6) AS assortativity
+FROM edges e JOIN od ON e.src = od.src JOIN ind ON e.dst = ind.dst""",
+        "clustering_coeff": f"""WITH {E_SQL},
+{SYM_SQL},
+deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),
+ord AS (
+  SELECT s.src, s.dst FROM sym s
+  JOIN deg da ON da.src = s.src
+  JOIN deg db ON db.src = s.dst
+  WHERE (da.d < db.d) OR (da.d = db.d AND s.src < s.dst)
+),
+tri AS (
+  SELECT a.src AS i, a.dst AS j, b.dst AS k
+  FROM ord a JOIN ord b ON a.dst = b.src
+  JOIN ord c ON c.src = a.src AND c.dst = b.dst
+),
+pv AS (
+  SELECT id, count(*) AS t FROM (
+    SELECT i AS id FROM tri
+    UNION ALL SELECT j FROM tri
+    UNION ALL SELECT k FROM tri
+  ) u GROUP BY id
+)
+SELECT deg.src AS id, deg.d::BIGINT AS degree,
+       coalesce(pv.t, 0)::BIGINT AS triangles,
+       CASE WHEN deg.d >= 2
+            THEN round(2.0 * coalesce(pv.t, 0) / (deg.d * (deg.d - 1)), 6)
+            ELSE 0.0 END AS coeff
+FROM deg LEFT JOIN pv ON pv.id = deg.src""",
+        "host_pagerank": _host_pagerank_sql(),
+        "mis": _mis_sql(MIS_SQL_ROUNDS),
+        "rep_stats": f"""WITH {TOKS_SQL},
+b AS (
+  SELECT doc_id, len(toks) AS n,
+         CASE WHEN len(toks) > 0
+              THEN 1.0 - len(list_distinct(toks))::DOUBLE / len(toks)
+              ELSE 0.0 END AS dup,
+         list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i + 1]) AS bgs
+  FROM t
+),
+c AS (
+  SELECT doc_id, bg, count(*) AS c
+  FROM (SELECT doc_id, unnest(bgs) AS bg FROM b) u GROUP BY doc_id, bg
+),
+m AS (SELECT doc_id, max(c)::DOUBLE / sum(c) AS top FROM c GROUP BY doc_id)
+SELECT b.doc_id, b.n::BIGINT AS n_tokens, round(b.dup, 6) AS dup_token_frac,
+       round(coalesce(m.top, 0.0), 6) AS top_bigram_frac
+FROM b LEFT JOIN m ON m.doc_id = b.doc_id""",
         "triangle_count": f"""WITH {E_SQL},
 {SYM_SQL},
 deg AS (SELECT src, count(*) AS d FROM sym GROUP BY src),

@@ -107,9 +107,17 @@ def simple_pagerank(
         we_persisted = True
 
     # --- prelude: inverted scaled out-degrees -------------------------------
+    # A pattern matrix normalizes by out-degree (count); a weighted
+    # matrix (VAL column present) normalizes by out-WEIGHT — the per-
+    # iteration vxm below already multiplies by the matrix value, so
+    # switching only this prelude ring yields exact weighted PageRank
+    # (rank flows ∝ w/Σ_out w). Reference PageRank is pattern-only
+    # (simple_pagerank.hpp:210-222); the weighted path serves coarsened
+    # graphs (e.g. host-level rollups carrying link multiplicities).
+    row_ring = alg.PLUS_TIMES if VAL in edges.columns else alg.PLUS_FIRST
     ones = set_dense(spark, n, 1.0)
     inv = (
-        vxm(ones, edges, alg.PLUS_FIRST, transpose=True, strategy="shuffle")
+        vxm(ones, edges, row_ring, transpose=True, strategy="shuffle")
         .select(F.col(ID), (F.lit(alpha) / F.col(VAL)).alias("inv"))
         .persist()
     )

@@ -69,3 +69,32 @@ def triangle_count(edges: DataFrame) -> TriangleResult:
     )
     e.unpersist()
     return TriangleResult(total=total, per_vertex=per_vertex)
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Local clustering coefficient per vertex over the symmetric edge
+    table: ``coeff = 2·triangles / (deg·(deg−1))``, 0 when deg < 2 —
+    the standard web-graph cohesion metric (Watts-Strogatz). Reuses the
+    oriented masked-SpGEMM triangle enumeration (bounded wedge work on
+    hubs); the degree side is one map-side-combined groupBy. Returns
+    (id, degree, triangles, coeff) for every vertex with ≥1 edge."""
+    res = triangle_count(edges)
+    deg = edges.groupBy(SRC).agg(F.count("*").alias("degree"))
+    tri = F.coalesce(F.col("count"), F.lit(0))
+    return (
+        deg.select(F.col(SRC).alias("id"), "degree")
+        .join(res.per_vertex, on="id", how="left")
+        .select(
+            "id",
+            F.col("degree").cast("long").alias("degree"),
+            tri.cast("long").alias("triangles"),
+            F.when(
+                F.col("degree") >= 2,
+                F.round(
+                    2.0 * tri / (F.col("degree") * (F.col("degree") - 1)), 6
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("coeff"),
+        )
+    )

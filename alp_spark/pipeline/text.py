@@ -92,6 +92,62 @@ def lang_id(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", pred.alias("lang_pred"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021, appendix A —
+    public): per document, the duplicate-token fraction
+    ``1 − |distinct tokens| / |tokens|`` and the top-bigram fraction
+    (occurrences of the most frequent token bigram / all bigrams) —
+    the workhorse pre-training quality signals for boilerplate and
+    machine-generated repetition.
+
+    The duplicate fraction is pure Column math on the token array (no
+    shuffle). The bigram mode needs a frequency table, so bigrams are
+    exploded and aggregated twice keyed by (doc_id, bigram) then doc_id
+    — both enjoy map-side partial aggregation, and keys are
+    per-document so no corpus-level hot key exists; cost is
+    token-proportional, the same currency as the scan itself.
+    """
+    toks = tokens_col(F.col("text"))
+    stats = (
+        docs.select("doc_id", toks.alias("_toks"))
+        .select(
+            "doc_id",
+            F.size("_toks").alias("_n"),
+            F.when(
+                F.size("_toks") > 0,
+                1.0
+                - F.size(F.array_distinct("_toks")).cast("double")
+                / F.size("_toks"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("_dup"),
+            F.expr("slice(_toks, 1, greatest(size(_toks) - 1, 0))").alias("_h"),
+            F.expr("slice(_toks, 2, greatest(size(_toks) - 1, 0))").alias("_t"),
+        )
+        .select(
+            "doc_id",
+            "_n",
+            "_dup",
+            F.zip_with("_h", "_t", lambda x, y: F.concat_ws(" ", x, y)).alias(
+                "_bgs"
+            ),
+        )
+    )
+    top = (
+        stats.select("doc_id", F.explode("_bgs").alias("_bg"))
+        .groupBy("doc_id", "_bg")
+        .agg(F.count("*").alias("_c"))
+        .groupBy("doc_id")
+        .agg((F.max("_c").cast("double") / F.sum("_c")).alias("_top"))
+    )
+    return stats.join(top, on="doc_id", how="left").select(
+        "doc_id",
+        F.col("_n").cast("long").alias("n_tokens"),
+        F.round("_dup", 6).alias("dup_token_frac"),
+        F.round(F.coalesce("_top", F.lit(0.0)), 6).alias("top_bigram_frac"),
+    )
+
+
 def doc_fingerprint(docs: DataFrame) -> DataFrame:
     """Whitespace-normalised lowercase MD5 fingerprint per document.
 

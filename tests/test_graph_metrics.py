@@ -1,0 +1,174 @@
+"""MIS, graph coarsening + weighted PageRank, and local clustering
+coefficients vs brute-force / NumPy oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from alp_spark.algorithms.coarsen import coarsen_edges
+from alp_spark.algorithms.mis import (
+    PRIO_MOD,
+    PRIO_MULT,
+    maximal_independent_set,
+)
+from alp_spark.algorithms.simple_pagerank import simple_pagerank
+from alp_spark.algorithms.triangles import local_clustering
+
+from .fixtures import edges_df
+
+
+def _sym(pairs):
+    out = set()
+    for a, b in pairs:
+        out.add((a, b))
+        out.add((b, a))
+    return sorted(out)
+
+
+# path 0-1-2-3, triangle 4-5-6 (4-5, 5-6, 4-6), isolated 7
+UND = _sym([(0, 1), (1, 2), (2, 3), (4, 5), (5, 6), (4, 6)])
+N = 8
+
+
+def test_mis_independent_maximal_deterministic(spark):
+    res = maximal_independent_set(spark, edges_df(spark, UND), N)
+    mis = {r["id"] for r in res.members.collect()}
+    adj = {}
+    for a, b in UND:
+        adj.setdefault(a, set()).add(b)
+    # independence: no edge inside the set
+    assert all(not (adj.get(a, set()) & mis) for a in mis)
+    # maximality: every outside vertex has a member neighbour
+    assert all(adj.get(v, set()) & mis for v in range(N) if v not in mis)
+    # isolated vertex always enters
+    assert 7 in mis
+    # deterministic: a second run returns the identical set
+    res2 = maximal_independent_set(spark, edges_df(spark, UND), N)
+    assert {r["id"] for r in res2.members.collect()} == mis
+    assert res.rounds >= 1
+
+
+def test_mis_matches_greedy_by_priority(spark):
+    """The parallel rounds compute exactly the sequential greedy MIS
+    in priority order (the lexicographically-first MIS under p)."""
+    res = maximal_independent_set(spark, edges_df(spark, UND), N)
+    mis = {r["id"] for r in res.members.collect()}
+    adj = {}
+    for a, b in UND:
+        adj.setdefault(a, set()).add(b)
+    greedy, blocked = set(), set()
+    for v in sorted(range(N), key=lambda v: (v * PRIO_MULT) % PRIO_MOD):
+        if v not in blocked:
+            greedy.add(v)
+            blocked |= adj.get(v, set()) | {v}
+    assert mis == greedy
+
+
+def test_mis_empty_graph_takes_all(spark):
+    e = edges_df(spark, [])
+    res = maximal_independent_set(spark, e, 5)
+    assert {r["id"] for r in res.members.collect()} == set(range(5))
+    assert res.rounds == 1
+
+
+def test_coarsen_mapping_and_expr_agree(spark):
+    edges = [(0, 3), (1, 3), (0, 5), (4, 1), (2, 3), (3, 2)]
+    e = edges_df(spark, edges)
+    mapping = spark.range(6).select(
+        F.col("id"), (F.col("id") % 2).alias("group")
+    )
+    via_map = {
+        (r["src"], r["dst"]): r["val"]
+        for r in coarsen_edges(e, mapping=mapping).collect()
+    }
+    via_expr = {
+        (r["src"], r["dst"]): r["val"]
+        for r in coarsen_edges(e, group_expr=lambda c: c % 2).collect()
+    }
+    # groups: even={0,2,4}, odd={1,3,5}; self-loops (2→3? no: 2%2=0,3%2=1)
+    want = {}
+    for s, d in edges:
+        gs, gd = s % 2, d % 2
+        if gs != gd:
+            want[(gs, gd)] = want.get((gs, gd), 0) + 1.0
+    assert via_map == want
+    assert via_expr == want
+
+
+def test_coarsen_requires_exactly_one_grouping(spark):
+    e = edges_df(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        coarsen_edges(e)
+    with pytest.raises(ValueError):
+        coarsen_edges(
+            e,
+            mapping=spark.range(2).select("id", F.lit(0).alias("group")),
+            group_expr=lambda c: c,
+        )
+
+
+def _weighted_pr_numpy(n, wedges, alpha, iters):
+    W = np.zeros((n, n))
+    for s, d, w in wedges:
+        W[s, d] = w
+    rs = W.sum(axis=1)
+    pr = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = pr[rs == 0].sum()
+        nxt = np.full(n, (alpha * dangling + 1 - alpha) / n)
+        for s in range(n):
+            if rs[s]:
+                nxt += alpha * pr[s] * W[s] / rs[s]
+        pr = nxt
+    return pr
+
+
+def test_weighted_pagerank_matches_numpy(spark):
+    # weighted digraph with a dangling vertex 3
+    wedges = [(0, 1, 3.0), (0, 2, 1.0), (1, 2, 2.0), (2, 0, 1.0), (2, 3, 5.0)]
+    n, iters = 4, 6
+    e = edges_df(spark, wedges, val=True)
+    res = simple_pagerank(spark, e, n, alpha=0.85, conv=0.0, max_iter=iters)
+    got = np.zeros(n)
+    for r in res.ranks.collect():
+        got[r["id"]] = r["val"]
+    want = _weighted_pr_numpy(n, wedges, 0.85, iters)
+    np.testing.assert_allclose(got, want, rtol=1e-12, atol=1e-12)
+    assert abs(got.sum() - 1.0) < 1e-12
+
+
+def test_weighted_pagerank_uniform_weights_match_pattern(spark):
+    """All-equal weights must reproduce the pattern-matrix ranks —
+    the weighted path is a strict generalisation."""
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 2)]
+    n, iters = 3, 5
+    pat = simple_pagerank(
+        spark, edges_df(spark, pairs), n, conv=0.0, max_iter=iters
+    )
+    wtd = simple_pagerank(
+        spark,
+        edges_df(spark, [(a, b, 2.5) for a, b in pairs], val=True),
+        n,
+        conv=0.0,
+        max_iter=iters,
+    )
+    p = {r["id"]: r["val"] for r in pat.ranks.collect()}
+    w = {r["id"]: r["val"] for r in wtd.ranks.collect()}
+    assert p.keys() == w.keys()
+    assert all(abs(p[k] - w[k]) < 1e-12 for k in p)
+
+
+def test_local_clustering_exact(spark):
+    # triangle 4-5-6 plus the path 0-1-2-3: known coefficients
+    got = {
+        r["id"]: (r["degree"], r["triangles"], r["coeff"])
+        for r in local_clustering(edges_df(spark, UND)).collect()
+    }
+    assert got[4] == (2, 1, 1.0)
+    assert got[5] == (2, 1, 1.0)
+    assert got[6] == (2, 1, 1.0)
+    assert got[1] == (2, 0, 0.0)  # path interior: deg 2, open wedge
+    assert got[0] == (1, 0, 0.0)  # leaf: deg < 2
+    assert 7 not in got  # isolated vertex has no edges

@@ -646,3 +646,32 @@ def test_media_from_ids_real_decode_matches_formula(spark):
             bins = ((mid * 131 + i * 7) % 251) // 16
         want = np.bincount(bins, minlength=16) / 64.0
         np.testing.assert_array_equal(feats[(mid, kind)], want)
+
+
+# --------------------------------------------------------------------------
+# Gopher-style repetition filters
+# --------------------------------------------------------------------------
+
+def test_repetition_stats(spark):
+    from alp_spark.pipeline.text import repetition_stats
+
+    rows = spark.createDataFrame(
+        [
+            (0, "the cat sat on the mat"),  # one dup token, 5 distinct bigrams
+            (1, "spam spam spam spam"),  # maximal repetition
+            (2, "one"),  # no bigrams
+            (3, ""),  # empty
+        ],
+        DOC_SCHEMA,
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(rows).collect()}
+    assert got[0]["n_tokens"] == 6
+    assert got[0]["dup_token_frac"] == pytest.approx(1 / 6, abs=1e-6)
+    assert got[0]["top_bigram_frac"] == pytest.approx(0.2, abs=1e-6)
+    assert got[1]["dup_token_frac"] == pytest.approx(0.75, abs=1e-6)
+    assert got[1]["top_bigram_frac"] == 1.0  # "spam spam" x3 of 3
+    assert got[2]["n_tokens"] == 1
+    assert got[2]["top_bigram_frac"] == 0.0
+    assert got[3]["n_tokens"] == 0
+    assert got[3]["dup_token_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0
