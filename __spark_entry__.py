@@ -78,6 +78,8 @@ N_HOSTS = 50  # sources/pages.py:N_DOMAINS — hosts in the ingest url scheme
 # sf0.001 — measured once, like PPR_CONV_UPDATES); extra unrolled
 # rounds are exact no-ops, so 8 gives headroom for other fixture scales.
 MIS_SQL_ROUNDS = 8
+ANF_ROUNDS = 3  # pinned FM bit-OR propagation rounds (oracle-unrollable)
+WALK_LEN = 4  # pinned deterministic walk length (oracle-unrollable)
 LINKPRED_TOPK = 2000  # deterministic: ranked by exact int common, (u,v) ties
 KM_K = 4  # kmeans clusters
 KM_SEED = 11  # kpp RNG seed (reference uses wall-clock; see kmeans.py)
@@ -640,6 +642,30 @@ def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alp_spark.pipeline.text import repetition_stats
 
     return repetition_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def q_anf3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate neighbourhood function (algorithms/anf.py): 3 rounds
+    of Flajolet-Martin bit-OR propagation — the (bit_or, left_assign)
+    generalised-ring vxm (base/blas2.hpp:307 vocabulary) — sketching
+    each vertex's 3-hop out-ball size. Deterministic hash → exact
+    oracle."""
+    from alp_spark.algorithms.anf import anf
+
+    res = anf(spark, _edges(spark, sf_dir), N_V, rounds=ANF_ROUNDS)
+    return res.sketches
+
+
+def q_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic DeepWalk-style walk corpus (pipeline/walks.py):
+    one 4-step walk per vertex, next hop = hash(start, step) mod
+    out-degree over dst-ranked neighbours; walks stop at sinks. The
+    graph-embedding training-pair generator, reproducible across
+    partitionings."""
+    from alp_spark.pipeline.walks import random_walks
+
+    res = random_walks(spark, _edges(spark, sf_dir), N_V, length=WALK_LEN)
+    return res.walks
 
 
 def q_khop2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1332,6 +1358,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "mis": q_mis,
         "rep_stats": q_rep_stats,
+        "anf3": q_anf3,
+        "random_walks": q_random_walks,
         "khop2": q_khop2,
         "mpv3_minplus": q_mpv3_minplus,
         "label_prop1": q_label_prop1,
@@ -1619,6 +1647,69 @@ s0 AS MATERIALIZED (
 ),
 {joined}
 SELECT id FROM {prev} WHERE st = 1"""
+
+
+def _anf_sql(rounds: int) -> str:
+    """Unrolled FM bit-OR propagation (algorithms/anf.py): per round a
+    bit_or pull over out-edges merged into the running sketch; the init
+    and estimate replay fm_init_col / fm_estimate_col arithmetic."""
+    from alp_spark.algorithms.anf import FM_PHI, HASH_SALT
+
+    steps = []
+    prev = "s0"
+    for k in range(1, rounds + 1):
+        steps.append(f"""s{k} AS MATERIALIZED (
+  SELECT s.id, s.s | coalesce(n.o, 0) AS s
+  FROM {prev} s LEFT JOIN (
+    SELECT e.src AS id, bit_or(x.s) AS o
+    FROM edges e JOIN {prev} x ON x.id = e.dst GROUP BY e.src
+  ) n ON n.id = s.id
+)""")
+        prev = f"s{k}"
+    joined = ",\n".join(steps)
+    return f"""WITH {E_SQL},
+h0 AS (SELECT id, (id * {PRIO_MULT} + {HASH_SALT}) % {PRIO_MOD} AS h
+       FROM range({N_V}) t(id)),
+s0 AS MATERIALIZED (
+  SELECT id, CASE WHEN h = 0 THEN {PRIO_MOD} ELSE h & -h END AS s FROM h0
+),
+{joined}
+SELECT id, s AS sketch, round(((~s) & (s + 1)) / {FM_PHI}, 6) AS est_reach
+FROM {prev}"""
+
+
+def _walks_sql(length: int, seed: int = 0) -> str:
+    """Unrolled deterministic walks (pipeline/walks.py): dst-ranked
+    neighbour table + per-step hash-mod-degree pick; sinks simply emit
+    no rows for later steps."""
+    from alp_spark.pipeline.walks import STEP_SALT
+
+    parts = ["SELECT start, 0 AS step, cur AS vertex FROM w0"]
+    steps = []
+    prev = "w0"
+    for t in range(1, length + 1):
+        steps.append(f"""w{t} AS MATERIALIZED (
+  SELECT w.start, n.dst AS cur
+  FROM {prev} w
+  JOIN deg g ON g.src = w.cur
+  JOIN nbr n ON n.src = w.cur
+   AND n.i = (w.start * {PRIO_MULT} + {t} * {STEP_SALT} + {seed})
+              % {PRIO_MOD} % g.d
+)""")
+        parts.append(f"SELECT start, {t} AS step, cur AS vertex FROM w{t}")
+        prev = f"w{t}"
+    joined = ",\n".join(steps)
+    union = "\n  UNION ALL ".join(parts)
+    return f"""WITH {E_SQL},
+nbr AS (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS i
+  FROM edges
+),
+deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+w0 AS (SELECT id AS start, id AS cur FROM range({N_V}) t(id)),
+{joined}
+SELECT start, step::BIGINT AS step, vertex FROM ({union}) u"""
 
 
 def _label_prop_sql(rounds: int) -> str:
@@ -2717,6 +2808,8 @@ SELECT deg.src AS id, deg.d::BIGINT AS degree,
 FROM deg LEFT JOIN pv ON pv.id = deg.src""",
         "host_pagerank": _host_pagerank_sql(),
         "mis": _mis_sql(MIS_SQL_ROUNDS),
+        "anf3": _anf_sql(ANF_ROUNDS),
+        "random_walks": _walks_sql(WALK_LEN),
         "rep_stats": f"""WITH {TOKS_SQL},
 b AS (
   SELECT doc_id, len(toks) AS n,

@@ -38,6 +38,8 @@ HEADLINE = [
     "fastsv_cc",
     "triangle_count",
     "hits5",
+    "host_pagerank",
+    "mis",
     "label_prop1",
     "khop2",
     "exact_dedup",
@@ -47,6 +49,7 @@ HEADLINE = [
     "ann_topk",
     "cosine_dup_pairs",
     "token_stats",
+    "rep_stats",
     "events_hourly",
     "spy",
     "bpe_tokens",

@@ -91,6 +91,12 @@ def main() -> None:
             res.auth.count()
             res.hubs.count()
             rounds = res.rounds
+        elif q == "mis":
+            from alp_spark.algorithms.mis import maximal_independent_set
+
+            res = maximal_independent_set(spark, Esym, args.n)
+            res.members.count()
+            rounds = res.rounds
         elif q == "sssp":
             # deterministic per-edge weights, the bench_graphscale recipe
             w = ((F.col(SRC) * 7 + F.col(DST) * 13) % 10) / 10.0 + 0.1

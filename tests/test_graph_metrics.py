@@ -172,3 +172,88 @@ def test_local_clustering_exact(spark):
     assert got[1] == (2, 0, 0.0)  # path interior: deg 2, open wedge
     assert got[0] == (1, 0, 0.0)  # leaf: deg < 2
     assert 7 not in got  # isolated vertex has no edges
+
+
+# --------------------------------------------------------------------------
+# ANF (FM bit-OR propagation) and deterministic random walks
+# --------------------------------------------------------------------------
+
+from alp_spark.algorithms.anf import FM_PHI, HASH_SALT, anf  # noqa: E402
+from alp_spark.pipeline.walks import STEP_SALT, random_walks  # noqa: E402
+
+DIGRAPH = [(0, 1), (1, 2), (2, 3), (0, 3), (3, 0), (4, 0)]
+
+
+def _fm_init(v):
+    h = (v * PRIO_MULT + HASH_SALT) % PRIO_MOD
+    return PRIO_MOD if h == 0 else h & -h
+
+
+def _anf_python(n, edges, rounds):
+    s = {v: _fm_init(v) for v in range(n)}
+    for _ in range(rounds):
+        nxt = dict(s)
+        for a, b in edges:
+            nxt[a] |= s[b]
+        s = nxt
+    return s
+
+
+def test_anf_matches_python(spark):
+    n, rounds = 5, 3
+    res = anf(spark, edges_df(spark, DIGRAPH), n, rounds=rounds)
+    got = {r["id"]: (r["sketch"], r["est_reach"]) for r in res.sketches.collect()}
+    want = _anf_python(n, DIGRAPH, rounds)
+    assert {k: v[0] for k, v in got.items()} == want
+    for v, (sk, est) in got.items():
+        low_zero = ~sk & (sk + 1)
+        assert est == pytest.approx(low_zero / FM_PHI, abs=5e-7)
+    assert res.rounds == rounds
+
+
+def test_anf_zero_rounds_is_init(spark):
+    res = anf(spark, edges_df(spark, DIGRAPH), 5, rounds=0)
+    got = {r["id"]: r["sketch"] for r in res.sketches.collect()}
+    assert got == {v: _fm_init(v) for v in range(5)}
+
+
+def test_anf_rejects_negative_rounds(spark):
+    with pytest.raises(ValueError):
+        anf(spark, edges_df(spark, DIGRAPH), 5, rounds=-1)
+
+
+def _walks_python(n, edges, length, seed=0):
+    adj = {}
+    for a, b in sorted(set(edges)):
+        adj.setdefault(a, []).append(b)
+    rows = set()
+    for start in range(n):
+        cur = start
+        rows.add((start, 0, start))
+        for t in range(1, length + 1):
+            nbrs = adj.get(cur)
+            if not nbrs:
+                break
+            i = (start * PRIO_MULT + t * STEP_SALT + seed) % PRIO_MOD % len(nbrs)
+            cur = nbrs[i]
+            rows.add((start, t, cur))
+    return rows
+
+
+def test_random_walks_match_python(spark):
+    n, length = 5, 4
+    res = random_walks(spark, edges_df(spark, DIGRAPH), n, length=length)
+    got = {(r["start"], r["step"], r["vertex"]) for r in res.walks.collect()}
+    assert got == _walks_python(n, DIGRAPH, length)
+    # determinism across runs
+    res2 = random_walks(spark, edges_df(spark, DIGRAPH), n, length=length)
+    assert {(r["start"], r["step"], r["vertex"]) for r in res2.walks.collect()} == got
+
+
+def test_random_walks_stop_at_sinks(spark):
+    # 0 -> 1, 1 is a sink: the walk from 0 has steps 0 and 1 only
+    res = random_walks(spark, edges_df(spark, [(0, 1)]), 2, length=3)
+    got = sorted(
+        (r["start"], r["step"], r["vertex"]) for r in res.walks.collect()
+    )
+    assert got == [(0, 0, 0), (0, 1, 1), (1, 0, 1)]
