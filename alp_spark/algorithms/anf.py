@@ -85,7 +85,7 @@ def anf(
 
     s = spark.range(n).select(
         F.col("id").alias(ID), fm_init_col(F.col("id")).alias("_s")
-    ).localCheckpoint(eager=True)
+    )
 
     for _ in range(rounds):
         pulled = (
@@ -100,9 +100,15 @@ def anf(
                 ID,
                 F.col("_s").bitwiseOR(F.coalesce("_o", F.lit(0))).alias("_s"),
             )
-            .localCheckpoint(eager=True)
+            # lazy: no per-round action — the caller's single
+            # materialisation runs the whole pinned-round chain as one
+            # job, each checkpoint truncating lineage as it fills
+            .localCheckpoint(eager=False)
         )
 
+    # ONE action for the whole run (fills every lazy checkpoint), then
+    # the edge cache can go; later reads serve from the final state
+    s.count()
     E.unpersist()
     out = s.select(
         ID,

@@ -40,6 +40,8 @@ HEADLINE = [
     "hits5",
     "host_pagerank",
     "mis",
+    "anf3",
+    "random_walks",
     "label_prop1",
     "khop2",
     "exact_dedup",
