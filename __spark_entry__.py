@@ -644,6 +644,17 @@ def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_tbl(spark, sf_dir, "documents"))
 
 
+def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (algorithms/scc.py): min-label
+    coloring + within-color backward reach + trim — the web bow-tie
+    decomposition's core; labels are the component minimum id. Oracle:
+    recursive transitive closure + mutual-reachability min."""
+    from alp_spark.algorithms.scc import strongly_connected_components
+
+    res = strongly_connected_components(spark, _edges(spark, sf_dir), N_V)
+    return res.labels.select(ID, F.col("scc").cast("long").alias("scc"))
+
+
 def q_anf3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate neighbourhood function (algorithms/anf.py): 3 rounds
     of Flajolet-Martin bit-OR propagation — the (bit_or, left_assign)
@@ -1358,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_pagerank": q_host_pagerank,
         "mis": q_mis,
         "rep_stats": q_rep_stats,
+        "scc": q_scc,
         "anf3": q_anf3,
         "random_walks": q_random_walks,
         "khop2": q_khop2,
@@ -2808,6 +2820,19 @@ SELECT deg.src AS id, deg.d::BIGINT AS degree,
 FROM deg LEFT JOIN pv ON pv.id = deg.src""",
         "host_pagerank": _host_pagerank_sql(),
         "mis": _mis_sql(MIS_SQL_ROUNDS),
+        "scc": f"""WITH RECURSIVE {E_SQL},
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, min(r1.b) AS mn
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.a
+)
+SELECT t.id, least(t.id, coalesce(m.mn, t.id)) AS scc
+FROM range({N_V}) t(id) LEFT JOIN mutual m ON m.v = t.id""",
         "anf3": _anf_sql(ANF_ROUNDS),
         "random_walks": _walks_sql(WALK_LEN),
         "rep_stats": f"""WITH {TOKS_SQL},

@@ -132,6 +132,21 @@ def _queries():
             .limit(2000)
         )
 
+    def q_mis(spark, E, Esym, n):
+        from alp_spark.algorithms.mis import maximal_independent_set
+
+        return maximal_independent_set(spark, Esym, n).members
+
+    def q_anf3(spark, E, Esym, n):
+        from alp_spark.algorithms.anf import anf
+
+        return anf(spark, E, n, rounds=3).sketches
+
+    def q_random_walks(spark, E, Esym, n):
+        from alp_spark.pipeline.walks import random_walks
+
+        return random_walks(spark, E.distinct(), n, length=4).walks
+
     return {
         "pagerank5": q_pagerank5,
         "pagerank5_csr": q_pagerank5_csr,
@@ -143,6 +158,9 @@ def _queries():
         "label_prop1": q_label_prop1,
         "hits5": q_hits5,
         "link_predict": q_link_predict,
+        "mis": q_mis,
+        "anf3": q_anf3,
+        "random_walks": q_random_walks,
     }
 
 
