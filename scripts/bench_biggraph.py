@@ -91,6 +91,14 @@ def main() -> None:
             res.auth.count()
             res.hubs.count()
             rounds = res.rounds
+        elif q == "scc":
+            from alp_spark.algorithms.scc import strongly_connected_components
+
+            res = strongly_connected_components(
+                spark, spark.read.parquet(args.path), args.n
+            )
+            res.labels.count()
+            rounds = res.inner_rounds
         elif q == "mis":
             from alp_spark.algorithms.mis import maximal_independent_set
 

@@ -137,6 +137,11 @@ def _queries():
 
         return maximal_independent_set(spark, Esym, n).members
 
+    def q_scc(spark, E, Esym, n):
+        from alp_spark.algorithms.scc import strongly_connected_components
+
+        return strongly_connected_components(spark, E, n).labels
+
     def q_anf3(spark, E, Esym, n):
         from alp_spark.algorithms.anf import anf
 
@@ -159,6 +164,7 @@ def _queries():
         "hits5": q_hits5,
         "link_predict": q_link_predict,
         "mis": q_mis,
+        "scc": q_scc,
         "anf3": q_anf3,
         "random_walks": q_random_walks,
     }
