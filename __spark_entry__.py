@@ -80,6 +80,8 @@ N_HOSTS = 50  # sources/pages.py:N_DOMAINS — hosts in the ingest url scheme
 MIS_SQL_ROUNDS = 8
 ANF_ROUNDS = 3  # pinned FM bit-OR propagation rounds (oracle-unrollable)
 WALK_LEN = 4  # pinned deterministic walk length (oracle-unrollable)
+PPR_MULTI_SEEDS = [7, 42, 123]  # batched-PPR seed vertices
+PPR_MULTI_ROUNDS = 3  # pinned batched-PPR rounds (oracle-unrollable)
 LINKPRED_TOPK = 2000  # deterministic: ranked by exact int common, (u,v) ties
 KM_K = 4  # kmeans clusters
 KM_SEED = 11  # kpp RNG seed (reference uses wall-clock; see kmeans.py)
@@ -642,6 +644,27 @@ def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alp_spark.pipeline.text import repetition_stats
 
     return repetition_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def q_ppr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-source personalized PageRank (algorithms/
+    ppr_multi.py): all seeds iterate in ONE loop over (seed, id, val)
+    state with in-plan broadcast dangling masses — the related-pages /
+    link-feature generator; each seed's slice equals the single-source
+    teleport run bit for bit."""
+    from alp_spark.algorithms.ppr_multi import ppr_multi
+
+    res = ppr_multi(
+        spark,
+        _edges(spark, sf_dir),
+        N_V,
+        PPR_MULTI_SEEDS,
+        alpha=0.85,
+        rounds=PPR_MULTI_ROUNDS,
+    )
+    return res.ranks.select(
+        "seed", ID, F.round(VAL, 6).alias("rank")
+    )
 
 
 def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1370,6 +1393,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "rep_stats": q_rep_stats,
         "scc": q_scc,
+        "ppr_multi": q_ppr_multi,
         "anf3": q_anf3,
         "random_walks": q_random_walks,
         "khop2": q_khop2,
@@ -1659,6 +1683,46 @@ s0 AS MATERIALIZED (
 ),
 {joined}
 SELECT id FROM {prev} WHERE st = 1"""
+
+
+def _ppr_multi_sql(seeds: list[int], rounds: int) -> str:
+    """Unrolled batched PPR: one independent point-mass chain per seed
+    (the _ppr5_sql formula with tele = [id = seed]), UNION ALL'd."""
+    n, a = N_V, 0.85
+    ctes = []
+    sels = []
+    for s in seeds:
+        prev = f"q{s}p0"
+        ctes.append(
+            f"{prev} AS (SELECT id, CASE WHEN id = {s} THEN 1.0 ELSE 0.0 END"
+            " AS rank FROM v)"
+        )
+        for k in range(1, rounds + 1):
+            cur = f"q{s}p{k}"
+            ctes.append(f"""{cur} AS (
+  SELECT v.id,
+         coalesce(c.contrib, 0)
+         + ({a} * (SELECT coalesce(sum(p.rank), 0) FROM {prev} p
+                   LEFT JOIN outdeg o ON p.id = o.src WHERE o.src IS NULL)
+            + {1 - a}) * (CASE WHEN v.id = {s} THEN 1.0 ELSE 0.0 END) AS rank
+  FROM v LEFT JOIN (
+    SELECT e.dst AS id, sum(p.rank * ({a} / o.d)) AS contrib
+    FROM {prev} p JOIN outdeg o ON p.id = o.src JOIN edges e ON e.src = p.id
+    GROUP BY e.dst
+  ) c ON v.id = c.id
+)""")
+            prev = cur
+        sels.append(
+            f"SELECT {s}::BIGINT AS seed, id, round(rank, 6) AS rank"
+            f" FROM {prev}"
+        )
+    joined = ",\n".join(ctes)
+    union = "\n  UNION ALL ".join(sels)
+    return f"""WITH {E_SQL},
+outdeg AS (SELECT src, count(*)::DOUBLE AS d FROM edges GROUP BY src),
+v AS (SELECT id FROM range({n}) t(id)),
+{joined}
+SELECT * FROM ({union}) u"""
 
 
 def _anf_sql(rounds: int) -> str:
@@ -2833,6 +2897,7 @@ mutual AS (
 )
 SELECT t.id, least(t.id, coalesce(m.mn, t.id)) AS scc
 FROM range({N_V}) t(id) LEFT JOIN mutual m ON m.v = t.id""",
+        "ppr_multi": _ppr_multi_sql(PPR_MULTI_SEEDS, PPR_MULTI_ROUNDS),
         "anf3": _anf_sql(ANF_ROUNDS),
         "random_walks": _walks_sql(WALK_LEN),
         "rep_stats": f"""WITH {TOKS_SQL},

@@ -257,3 +257,45 @@ def test_random_walks_stop_at_sinks(spark):
         (r["start"], r["step"], r["vertex"]) for r in res.walks.collect()
     )
     assert got == [(0, 0, 0), (0, 1, 1), (1, 0, 1)]
+
+
+# --------------------------------------------------------------------------
+# batched multi-source PPR
+# --------------------------------------------------------------------------
+
+def test_ppr_multi_matches_single_source(spark):
+    from alp_spark.algorithms.ppr_multi import ppr_multi
+    from alp_spark.containers import vector_schema
+
+    edges = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4)]  # 4 dangling
+    n, rounds, seeds = 5, 3, [0, 2, 4]
+    batched = ppr_multi(spark, edges_df(spark, edges), n, seeds, rounds=rounds)
+    got = {
+        (r["seed"], r["id"]): r["val"] for r in batched.ranks.collect()
+    }
+    assert len(got) == len(seeds) * n
+    for s in seeds:
+        tele = spark.createDataFrame([(s, 1.0)], vector_schema("double"))
+        single = simple_pagerank(
+            spark,
+            edges_df(spark, edges),
+            n,
+            conv=0.0,
+            max_iter=rounds,
+            teleport=tele,
+        )
+        want = {r["id"]: r["val"] for r in single.ranks.collect()}
+        for v in range(n):
+            assert got[(s, v)] == want[v], (s, v)
+
+
+def test_ppr_multi_rejects_bad_args(spark):
+    import pytest as _pytest
+
+    from alp_spark.algorithms.ppr_multi import ppr_multi
+
+    e = edges_df(spark, [(0, 1)])
+    with _pytest.raises(ValueError):
+        ppr_multi(spark, e, 2, [])
+    with _pytest.raises(ValueError):
+        ppr_multi(spark, e, 2, [0], rounds=0)
