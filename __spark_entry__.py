@@ -82,6 +82,10 @@ ANF_ROUNDS = 3  # pinned FM bit-OR propagation rounds (oracle-unrollable)
 WALK_LEN = 4  # pinned deterministic walk length (oracle-unrollable)
 PPR_MULTI_SEEDS = [7, 42, 123]  # batched-PPR seed vertices
 PPR_MULTI_ROUNDS = 3  # pinned batched-PPR rounds (oracle-unrollable)
+TRUSS_K = 20  # k-truss order: k=20 peels 135 edges over 9 rounds at
+# sf0.01 (measured; smaller k is a no-op fixpoint on this dense
+# fixture — the whole graph is already a 4-truss); 3 rounds at sf0.001
+TRUSS_SQL_ROUNDS = 12  # ≥ measured peel rounds; extra rounds are no-ops
 LINKPRED_TOPK = 2000  # deterministic: ranked by exact int common, (u,v) ties
 KM_K = 4  # kmeans clusters
 KM_SEED = 11  # kpp RNG seed (reference uses wall-clock; see kmeans.py)
@@ -644,6 +648,17 @@ def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alp_spark.pipeline.text import repetition_stats
 
     return repetition_stats(_tbl(spark, sf_dir, "documents"))
+
+
+def q_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss edge set (algorithms/truss.py): edge-centric peel by
+    in-subgraph triangle support — the cohesion kernel one step up
+    from triangle counting; k pinned to TRUSS_K so the oracle can
+    unroll the monotone peel (extra rounds are no-ops)."""
+    from alp_spark.algorithms.truss import k_truss
+
+    res = k_truss(spark, _sym_edges(spark, sf_dir), k=TRUSS_K)
+    return res.edges.select(SRC, DST)
 
 
 def q_ppr_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1393,6 +1408,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "rep_stats": q_rep_stats,
         "scc": q_scc,
+        "truss": q_truss,
         "ppr_multi": q_ppr_multi,
         "anf3": q_anf3,
         "random_walks": q_random_walks,
@@ -1683,6 +1699,36 @@ s0 AS MATERIALIZED (
 ),
 {joined}
 SELECT id FROM {prev} WHERE st = 1"""
+
+
+def _truss_sql(k: int, rounds: int) -> str:
+    """Unrolled k-truss peel (algorithms/truss.py): per round a wedge
+    join computes in-subgraph triangle support per canonical edge and
+    edges below k−2 drop; the peel is monotone, so rounds past the
+    fixpoint are exact no-ops."""
+    need = k - 2
+    steps = []
+    prev = "t0"
+    for r in range(1, rounds + 1):
+        steps.append(f"""y{r} AS MATERIALIZED (
+  SELECT u AS a, v AS b FROM {prev}
+  UNION ALL SELECT v, u FROM {prev}
+),
+t{r} AS MATERIALIZED (
+  SELECT t.u, t.v
+  FROM {prev} t
+  JOIN y{r} p ON p.a = t.u
+  JOIN y{r} q ON q.a = t.v AND q.b = p.b
+  GROUP BY t.u, t.v
+  HAVING count(*) >= {need}
+)""")
+        prev = f"t{r}"
+    joined = ",\n".join(steps)
+    return f"""WITH {E_SQL},
+{SYM_SQL},
+t0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM sym WHERE src < dst),
+{joined}
+SELECT u AS src, v AS dst FROM {prev}"""
 
 
 def _ppr_multi_sql(seeds: list[int], rounds: int) -> str:
@@ -2897,6 +2943,7 @@ mutual AS (
 )
 SELECT t.id, least(t.id, coalesce(m.mn, t.id)) AS scc
 FROM range({N_V}) t(id) LEFT JOIN mutual m ON m.v = t.id""",
+        "truss": _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS),
         "ppr_multi": _ppr_multi_sql(PPR_MULTI_SEEDS, PPR_MULTI_ROUNDS),
         "anf3": _anf_sql(ANF_ROUNDS),
         "random_walks": _walks_sql(WALK_LEN),

@@ -299,3 +299,52 @@ def test_ppr_multi_rejects_bad_args(spark):
         ppr_multi(spark, e, 2, [])
     with _pytest.raises(ValueError):
         ppr_multi(spark, e, 2, [0], rounds=0)
+
+
+# --------------------------------------------------------------------------
+# k-truss
+# --------------------------------------------------------------------------
+
+def _truss_python(pairs, k):
+    import collections
+
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    while True:
+        adj = collections.defaultdict(set)
+        for a, b in es:
+            adj[a].add(b)
+            adj[b].add(a)
+        keep = {(a, b) for a, b in es if len(adj[a] & adj[b]) >= k - 2}
+        if keep == es:
+            return es
+        es = keep
+
+
+def test_k_truss_exact(spark):
+    from alp_spark.algorithms.truss import k_truss
+
+    # two 4-cliques sharing vertex 3, plus a dangling triangle and tail
+    pairs = [
+        (0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3),
+        (3, 4), (3, 5), (3, 6), (4, 5), (4, 6), (5, 6),
+        (7, 8), (8, 9), (7, 9), (9, 10),
+    ]
+    sym = _sym(pairs)
+    for k in (3, 4, 5):
+        got = {
+            (r["src"], r["dst"])
+            for r in k_truss(spark, edges_df(spark, sym), k=k).edges.collect()
+        }
+        assert got == _truss_python(pairs, k), k
+    # k=4 keeps exactly the two cliques; the triangle+tail dies
+    four = _truss_python(pairs, 4)
+    assert (7, 8) not in four and (0, 1) in four and (4, 5) in four
+
+
+def test_k_truss_rejects_small_k(spark):
+    import pytest as _pytest
+
+    from alp_spark.algorithms.truss import k_truss
+
+    with _pytest.raises(ValueError):
+        k_truss(spark, edges_df(spark, _sym([(0, 1)])), k=2)
