@@ -650,6 +650,16 @@ def q_rep_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_stats(_tbl(spark, sf_dir, "documents"))
 
 
+def q_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Broder bow-tie decomposition (algorithms/scc.py:bowtie_classes):
+    core = largest SCC (tie → smallest label), in = reaches core,
+    out = reachable from core, other = tendrils/disconnected — the
+    canonical web-graph macrostructure census."""
+    from alp_spark.algorithms.scc import bowtie_classes
+
+    return bowtie_classes(spark, _edges(spark, sf_dir), N_V)
+
+
 def q_truss(spark: SparkSession, sf_dir: str) -> DataFrame:
     """k-truss edge set (algorithms/truss.py): edge-centric peel by
     in-subgraph triangle support — the cohesion kernel one step up
@@ -1408,6 +1418,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis": q_mis,
         "rep_stats": q_rep_stats,
         "scc": q_scc,
+        "bowtie": q_bowtie,
         "truss": q_truss,
         "ppr_multi": q_ppr_multi,
         "anf3": q_anf3,
@@ -2943,6 +2954,36 @@ mutual AS (
 )
 SELECT t.id, least(t.id, coalesce(m.mn, t.id)) AS scc
 FROM range({N_V}) t(id) LEFT JOIN mutual m ON m.v = t.id""",
+        "bowtie": f"""WITH RECURSIVE {E_SQL},
+reach(a, b) AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN edges e ON e.src = r.b
+),
+mutual AS (
+  SELECT r1.a AS v, min(r1.b) AS mn
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+  GROUP BY r1.a
+),
+lab AS (
+  SELECT t.id, least(t.id, coalesce(m.mn, t.id)) AS scc
+  FROM range({N_V}) t(id) LEFT JOIN mutual m ON m.v = t.id
+),
+core_lbl AS (
+  SELECT scc FROM (
+    SELECT scc, count(*) AS c FROM lab GROUP BY scc
+    ORDER BY c DESC, scc ASC LIMIT 1
+  ) z
+),
+core AS (SELECT id FROM lab WHERE scc = (SELECT scc FROM core_lbl)),
+inn AS (SELECT DISTINCT r.a AS id FROM reach r JOIN core c ON r.b = c.id),
+outt AS (SELECT DISTINCT r.b AS id FROM reach r JOIN core c ON r.a = c.id)
+SELECT l.id,
+       CASE WHEN l.id IN (SELECT id FROM core) THEN 'core'
+            WHEN l.id IN (SELECT id FROM inn) THEN 'in'
+            WHEN l.id IN (SELECT id FROM outt) THEN 'out'
+            ELSE 'other' END AS cls
+FROM lab l""",
         "truss": _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS),
         "ppr_multi": _ppr_multi_sql(PPR_MULTI_SEEDS, PPR_MULTI_ROUNDS),
         "anf3": _anf_sql(ANF_ROUNDS),

@@ -84,6 +84,78 @@ def _min_flood(
             return f, rounds
 
 
+def reach_set(
+    spark: SparkSession,
+    edges: DataFrame,
+    seeds: DataFrame,
+    forward: bool = True,
+) -> DataFrame:
+    """Fixpoint reachability from a seed set (frontier BFS): returns
+    (id,) of every vertex reachable FROM the seeds along edge direction
+    (``forward=True``) or that REACHES the seeds (``forward=False``),
+    seeds included. One census action per BFS level; each level
+    expands only the new frontier (classic delta optimisation — the
+    SSSP delta-frontier argument with the boolean (or, and) ring)."""
+    a, b = (SRC, DST) if forward else (DST, SRC)
+    E = edges.select(SRC, DST).repartition(a).persist()
+    E.count()
+    r = seeds.select(ID).distinct().localCheckpoint(eager=True)
+    frontier = r
+    while True:
+        step = (
+            E.join(frontier.select(F.col(ID).alias(a)), on=a)
+            .select(F.col(b).alias(ID))
+            .distinct()
+            .join(r, on=ID, how="left_anti")
+            .localCheckpoint(eager=False)
+        )
+        if step.count() == 0:
+            break
+        r = r.unionByName(step).localCheckpoint(eager=True)
+        frontier = step
+    E.unpersist()
+    return r
+
+
+def bowtie_classes(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int,
+) -> DataFrame:
+    """Broder et al. (WWW 2000) bow-tie decomposition: label every
+    vertex ``core`` (the largest SCC; ties broken by smallest label),
+    ``in`` (reaches the core), ``out`` (reachable from the core), or
+    ``other`` (tendrils, tubes, disconnected). Returns (id, cls)."""
+    labels = strongly_connected_components(spark, edges, n).labels
+    labels = labels.localCheckpoint(eager=True)
+    core_lbl = (
+        labels.groupBy("scc")
+        .agg(F.count("*").alias("_sz"))
+        .orderBy(F.col("_sz").desc(), F.col("scc").asc())
+        .limit(1)
+        .select("scc")
+    )
+    core = labels.join(F.broadcast(core_lbl), on="scc", how="left_semi").select(ID)
+    core = core.localCheckpoint(eager=True)
+    fwd = reach_set(spark, edges, core, forward=True)
+    bwd = reach_set(spark, edges, core, forward=False)
+    return (
+        spark.range(n)
+        .select(F.col("id").alias(ID))
+        .join(core.select(ID, F.lit(True).alias("_c")), on=ID, how="left")
+        .join(bwd.select(ID, F.lit(True).alias("_in")), on=ID, how="left")
+        .join(fwd.select(ID, F.lit(True).alias("_out")), on=ID, how="left")
+        .select(
+            ID,
+            F.when(F.col("_c"), F.lit("core"))
+            .when(F.col("_in"), F.lit("in"))
+            .when(F.col("_out"), F.lit("out"))
+            .otherwise(F.lit("other"))
+            .alias("cls"),
+        )
+    )
+
+
 def strongly_connected_components(
     spark: SparkSession,
     edges: DataFrame,

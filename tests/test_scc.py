@@ -73,3 +73,23 @@ def test_scc_nested_structure(spark):
 def test_scc_empty(spark):
     res = strongly_connected_components(spark, edges_df(spark, []), 0)
     assert res.labels.count() == 0
+
+
+def test_bowtie_classes(spark):
+    from alp_spark.algorithms.scc import bowtie_classes
+
+    # core cycle {1,2,3}; 0 -> core (in); core -> 4 (out);
+    # 5 -> 6 tendril off the in-branch (other); 7 isolated (other)
+    edges = [
+        (1, 2), (2, 3), (3, 1),
+        (0, 1), (3, 4),
+        (5, 0), (5, 6),
+    ]
+    got = {
+        r["id"]: r["cls"]
+        for r in bowtie_classes(spark, edges_df(spark, edges), 8).collect()
+    }
+    assert got == {
+        0: "in", 1: "core", 2: "core", 3: "core",
+        4: "out", 5: "in", 6: "other", 7: "other",
+    }
