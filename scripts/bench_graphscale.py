@@ -142,6 +142,21 @@ def _queries():
 
         return strongly_connected_components(spark, E, n).labels
 
+    def q_bowtie(spark, E, Esym, n):
+        from alp_spark.algorithms.scc import bowtie_classes
+
+        return bowtie_classes(spark, E, n)
+
+    def q_truss(spark, E, Esym, n):
+        from alp_spark.algorithms.truss import k_truss
+
+        return k_truss(spark, Esym, k=5).edges
+
+    def q_ppr_multi(spark, E, Esym, n):
+        from alp_spark.algorithms.ppr_multi import ppr_multi
+
+        return ppr_multi(spark, E, n, [7, 42, 123], rounds=3).ranks
+
     def q_anf3(spark, E, Esym, n):
         from alp_spark.algorithms.anf import anf
 
@@ -165,6 +180,9 @@ def _queries():
         "link_predict": q_link_predict,
         "mis": q_mis,
         "scc": q_scc,
+        "bowtie": q_bowtie,
+        "truss": q_truss,
+        "ppr_multi": q_ppr_multi,
         "anf3": q_anf3,
         "random_walks": q_random_walks,
     }
