@@ -79,6 +79,7 @@ N_HOSTS = 50  # sources/pages.py:N_DOMAINS — hosts in the ingest url scheme
 # rounds are exact no-ops, so 8 gives headroom for other fixture scales.
 MIS_SQL_ROUNDS = 8
 ANF_ROUNDS = 3  # pinned FM bit-OR propagation rounds (oracle-unrollable)
+NF_ROUNDS = 4  # neighbourhood-function hop budget (oracle-unrollable)
 WALK_LEN = 4  # pinned deterministic walk length (oracle-unrollable)
 PPR_MULTI_SEEDS = [7, 42, 123]  # batched-PPR seed vertices
 PPR_MULTI_ROUNDS = 3  # pinned batched-PPR rounds (oracle-unrollable)
@@ -701,6 +702,18 @@ def q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = strongly_connected_components(spark, _edges(spark, sf_dir), N_V)
     return res.labels.select(ID, F.col("scc").cast("long").alias("scc"))
+
+
+def q_neighborhood_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ANF neighbourhood function N(h) for h = 1..4 (algorithms/
+    anf.py:neighborhood_function): estimated reachable-pair counts per
+    hop — the effective-diameter statistic; integer-exact FM sums so
+    the oracle matches bit for bit."""
+    from alp_spark.algorithms.anf import neighborhood_function
+
+    return neighborhood_function(
+        spark, _edges(spark, sf_dir), N_V, rounds=NF_ROUNDS
+    )
 
 
 def q_anf3(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1420,6 +1433,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc": q_scc,
         "bowtie": q_bowtie,
         "truss": q_truss,
+        "neighborhood_fn": q_neighborhood_fn,
         "ppr_multi": q_ppr_multi,
         "anf3": q_anf3,
         "random_walks": q_random_walks,
@@ -1809,6 +1823,40 @@ s0 AS MATERIALIZED (
 {joined}
 SELECT id, s AS sketch, round(((~s) & (s + 1)) / {FM_PHI}, 6) AS est_reach
 FROM {prev}"""
+
+
+def _nf_sql(rounds: int) -> str:
+    """Unrolled neighbourhood function: the _anf_sql propagation chain
+    with a per-hop aggregate off each MATERIALIZED state — summing the
+    EXACT integer 2^R values and dividing by φ once (order-proof)."""
+    from alp_spark.algorithms.anf import FM_PHI, HASH_SALT
+
+    steps = []
+    prev = "s0"
+    for k in range(1, rounds + 1):
+        steps.append(f"""s{k} AS MATERIALIZED (
+  SELECT s.id, s.s | coalesce(n.o, 0) AS s
+  FROM {prev} s LEFT JOIN (
+    SELECT e.src AS id, bit_or(x.s) AS o
+    FROM edges e JOIN {prev} x ON x.id = e.dst GROUP BY e.src
+  ) n ON n.id = s.id
+)""")
+        prev = f"s{k}"
+    joined = ",\n".join(steps)
+    sels = "\n  UNION ALL ".join(
+        f"SELECT {h}::BIGINT AS hop,"
+        f" round(sum((~s) & (s + 1))::DOUBLE / {FM_PHI}, 6) AS n_pairs"
+        f" FROM s{h}"
+        for h in range(1, rounds + 1)
+    )
+    return f"""WITH {E_SQL},
+h0 AS (SELECT id, (id * {PRIO_MULT} + {HASH_SALT}) % {PRIO_MOD} AS h
+       FROM range({N_V}) t(id)),
+s0 AS MATERIALIZED (
+  SELECT id, CASE WHEN h = 0 THEN {PRIO_MOD} ELSE h & -h END AS s FROM h0
+),
+{joined}
+SELECT * FROM ({sels}) u"""
 
 
 def _walks_sql(length: int, seed: int = 0) -> str:
@@ -2987,6 +3035,7 @@ FROM lab l""",
         "truss": _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS),
         "ppr_multi": _ppr_multi_sql(PPR_MULTI_SEEDS, PPR_MULTI_ROUNDS),
         "anf3": _anf_sql(ANF_ROUNDS),
+        "neighborhood_fn": _nf_sql(NF_ROUNDS),
         "random_walks": _walks_sql(WALK_LEN),
         "rep_stats": f"""WITH {TOKS_SQL},
 b AS (

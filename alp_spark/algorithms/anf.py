@@ -58,16 +58,78 @@ def fm_init_col(id_col: Column) -> Column:
     )
 
 
+def fm_lowzero_col(sketch: Column) -> Column:
+    """Value of the sketch's lowest ZERO bit (2^R) — an exact BIGINT."""
+    return F.bitwise_not(sketch).bitwiseAND(sketch + F.lit(1))
+
+
 def fm_estimate_col(sketch: Column) -> Column:
     """FM cardinality estimate: value of the lowest ZERO bit / φ."""
-    low_zero = F.bitwise_not(sketch).bitwiseAND(sketch + F.lit(1))
-    return low_zero.cast("double") / F.lit(FM_PHI)
+    return fm_lowzero_col(sketch).cast("double") / F.lit(FM_PHI)
 
 
 @dataclass
 class ANFResult:
     sketches: DataFrame  # (id, sketch, est_reach)
     rounds: int
+
+
+def neighborhood_function(
+    spark: SparkSession,
+    edges: DataFrame,
+    n: int,
+    rounds: int = 4,
+) -> DataFrame:
+    """The ANF proper: N(h) = estimated number of (source, reachable)
+    pairs within h hops, for h = 1..rounds — the curve whose 90%
+    saturation point is the web graph's EFFECTIVE DIAMETER (Palmer et
+    al. KDD 2002 §4; the Kronecker/graph-500 evaluation statistic).
+
+    One propagation pass: after each bit-OR round the per-vertex FM
+    estimates are summed into a 1-row frame; the per-hop frames union
+    into the (hop, n_pairs) result and the whole computation stays ONE
+    lazy plan — no per-round action (the one-job pattern)."""
+    if rounds < 1:
+        raise ValueError("rounds must be >= 1")
+    E = edges.select(SRC, DST).repartition(DST).persist()
+    E.count()
+
+    s = spark.range(n).select(
+        F.col("id").alias(ID), fm_init_col(F.col("id")).alias("_s")
+    )
+    hops = []
+    for h in range(1, rounds + 1):
+        pulled = (
+            E.join(s.select(F.col(ID).alias(DST), F.col("_s").alias("_x")), on=DST)
+            .groupBy(SRC)
+            .agg(F.bit_or("_x").alias("_o"))
+            .select(F.col(SRC).alias(ID), "_o")
+        )
+        s = (
+            s.join(pulled, on=ID, how="left")
+            .select(
+                ID,
+                F.col("_s").bitwiseOR(F.coalesce("_o", F.lit(0))).alias("_s"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # sum the EXACT integer 2^R values and divide by φ once: a
+        # float sum is partition-order-sensitive at round(6) precision,
+        # an integer sum is bit-identical in any order and any engine
+        hops.append(
+            s.agg(F.sum(fm_lowzero_col(F.col("_s"))).alias("_z")).select(
+                F.lit(h).cast("long").alias("hop"),
+                F.round(F.col("_z").cast("double") / F.lit(FM_PHI), 6).alias(
+                    "n_pairs"
+                ),
+            )
+        )
+    out = hops[0]
+    for f in hops[1:]:
+        out = out.unionByName(f)
+    out = out.localCheckpoint(eager=True)  # one action for the chain
+    E.unpersist()
+    return out
 
 
 def anf(

@@ -348,3 +348,27 @@ def test_k_truss_rejects_small_k(spark):
 
     with _pytest.raises(ValueError):
         k_truss(spark, edges_df(spark, _sym([(0, 1)])), k=2)
+
+
+def test_neighborhood_function(spark):
+    from alp_spark.algorithms.anf import FM_PHI, neighborhood_function
+
+    n, rounds = 5, 3
+    got = {
+        r["hop"]: r["n_pairs"]
+        for r in neighborhood_function(
+            spark, edges_df(spark, DIGRAPH), n, rounds=rounds
+        ).collect()
+    }
+    assert set(got) == {1, 2, 3}
+    # replay: N(h) = sum of exact 2^R values / phi
+    s = {v: _fm_init(v) for v in range(n)}
+    for h in range(1, rounds + 1):
+        nxt = dict(s)
+        for a, b in DIGRAPH:
+            nxt[a] |= s[b]
+        s = nxt
+        z = sum(~sk & (sk + 1) for sk in s.values())
+        assert got[h] == pytest.approx(round(z / FM_PHI, 6), abs=1e-9), h
+    # monotone non-decreasing in h
+    assert got[1] <= got[2] <= got[3]
