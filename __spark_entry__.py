@@ -140,10 +140,26 @@ def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _sym_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _edges(spark, sf_dir)
-    return e.unionByName(
-        e.select(F.col(DST).alias(SRC), F.col(SRC).alias(DST))
-    ).distinct()
+    # same edge SET as distinct(edges ∪ edgesᵀ), built with ONE distinct
+    # instead of two (guide §2.4 — remove shuffles outright): canonical
+    # (min,max) undirected pairs dedup in a single pass, then both
+    # directions expand map-side with no further exchange.
+    li = _tbl(spark, sf_dir, "lineitem")
+    canon = (
+        li.select(
+            F.least(
+                F.col("l_partkey") % N_V, F.col("l_suppkey") % N_V
+            ).alias("a"),
+            F.greatest(
+                F.col("l_partkey") % N_V, F.col("l_suppkey") % N_V
+            ).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return canon.select(F.col("a").alias(SRC), F.col("b").alias(DST)).unionByName(
+        canon.select(F.col("b").alias(SRC), F.col("a").alias(DST))
+    )
 
 
 def _out_degree(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,6 +39,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..containers import DST, ID, SRC
+from ..plans.partitions import cache_sized, range_partitions
 from .mis import PRIO_MOD, PRIO_MULT
 
 #: golden-ratio salt so h(0) ≠ 0 for almost all ids (h == 0 is still
@@ -91,10 +92,11 @@ def neighborhood_function(
     lazy plan — no per-round action (the one-job pattern)."""
     if rounds < 1:
         raise ValueError("rounds must be >= 1")
-    E = edges.select(SRC, DST).repartition(DST).persist()
-    E.count()
+    # size-derived cached layout (guide §2; conf-capped, so identical
+    # at scale) — one E scan per hop.
+    E, _ = cache_sized(spark, edges.select(SRC, DST), key=DST)
 
-    s = spark.range(n).select(
+    s = spark.range(0, n, 1, range_partitions(spark, n)).select(
         F.col("id").alias(ID), fm_init_col(F.col("id")).alias("_s")
     )
     hops = []
@@ -142,10 +144,10 @@ def anf(
     directed edge table. ``est_reach`` includes the vertex itself."""
     if rounds < 0:
         raise ValueError("rounds must be >= 0")
-    E = edges.select(SRC, DST).repartition(DST).persist()
-    E.count()
+    # same size-derived layout as neighborhood_function above
+    E, _ = cache_sized(spark, edges.select(SRC, DST), key=DST)
 
-    s = spark.range(n).select(
+    s = spark.range(0, n, 1, range_partitions(spark, n)).select(
         F.col("id").alias(ID), fm_init_col(F.col("id")).alias("_s")
     )
 

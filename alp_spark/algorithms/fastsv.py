@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..containers import DST, ID, SRC
+from ..plans.partitions import cache_sized, range_partitions
 
 
 @dataclass
@@ -76,8 +77,10 @@ def fastsv_components(
     ``checkpoint_every`` rounds; a run resumed from any snapshot
     produces identical labels (each round is a deterministic min-fold
     of the previous ``f`` over the same edges)."""
-    E = sym_edges.select(SRC, DST).repartition(DST).persist()
-    E.count()
+    # size-derived cached layout (guide §2): the loop re-scans E every
+    # round; partition count follows the measured row count, capped at
+    # the conf parallelism (identical layout at scale).
+    E, _ = cache_sized(spark, sym_edges.select(SRC, DST), key=DST)
 
     # f: the parent (Shiloach-Vishkin forest) vector, init f[i] = i
     if resume_state is not None:
@@ -86,7 +89,7 @@ def fastsv_components(
         base = (
             vertices.select(F.col(vertices.columns[0]).alias("id"))
             if vertices is not None
-            else spark.range(n)
+            else spark.range(0, n, 1, range_partitions(spark, n))
         )
         f = (
             base.select(F.col("id").alias(ID), F.col("id").alias("f"))

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 from .. import algebra as alg
 from ..containers import ID, SRC, DST, VAL, vector_schema
 from ..operators.blas2 import vxm
+from ..plans.partitions import cache_sized, range_partitions
 
 
 @dataclass
@@ -82,8 +83,11 @@ def hits(
     """
     if iters < 1:
         raise ValueError("iters must be >= 1")
-    E = edges.select(SRC, DST).persist()
-    h = spark.range(n).select(
+    # size-derived cached layout (guide §2): 2 SpMV scans of E per
+    # round — empty-task overhead compounds, so partitions follow the
+    # measured row count (conf-capped; unchanged at scale).
+    E, _ = cache_sized(spark, edges.select(SRC, DST))
+    h = spark.range(0, n, 1, range_partitions(spark, n)).select(
         F.col("id").alias(ID), F.lit(1.0).alias(VAL)
     )
     a = None

@@ -23,8 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import algebra as alg
-from ..containers import ID, VAL, set_dense
+from ..containers import DST, ID, VAL, set_dense
 from ..operators import mxv
+from ..plans.partitions import cache_sized
 
 
 @dataclass
@@ -44,6 +45,11 @@ def label_propagation(
 ) -> LabelPropResult:
     if l == 0 or n == 0:
         raise ValueError("need n > 0 and at least one seed (reference ILLEGAL)")
+
+    # cache the matrix once in a size-derived layout: the diag pass AND
+    # every iteration's mxv scan it (it was re-derived from the source
+    # plan each time before — guide §2/§5)
+    weighted_edges, _ = cache_sized(spark, weighted_edges, key=DST)
 
     ones = set_dense(spark, n, 1.0)
     dinv = (
@@ -99,4 +105,5 @@ def label_propagation(
 
     dinv.unpersist()
     seeds.unpersist()
+    weighted_edges.unpersist()
     return LabelPropResult(labels=f, iterations=it, converged=converged)

@@ -34,6 +34,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..containers import DST, ID, SRC
+from ..plans.partitions import cache_sized, range_partitions
 
 #: Knuth multiplicative hash constant; odd → bijective mod 2^32.
 PRIO_MULT = 2654435761
@@ -69,10 +70,13 @@ def maximal_independent_set(
     independent (no edge inside), maximal (every outside vertex has a
     member neighbour), and identical across partitionings/cluster
     sizes because priorities are a pure function of the id."""
-    E = sym_edges.select(SRC, DST).repartition(DST).persist()
-    E.count()
+    # size-derived layout (guide §2): the loop re-scans E and st every
+    # round, so empty-task overhead compounds per round; partition
+    # counts follow the measured row counts, capped at the conf value
+    # (identical layout to before at scale).
+    E, _ = cache_sized(spark, sym_edges.select(SRC, DST), key=DST)
 
-    st = spark.range(n).select(
+    st = spark.range(0, n, 1, range_partitions(spark, n)).select(
         F.col("id").alias(ID),
         priority_col(F.col("id")).alias("_p"),
         F.lit(UNDECIDED).alias("_st"),

@@ -16,7 +16,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 
 from .. import algebra as alg
-from ..containers import ID, add_identity, vector_schema
+from ..containers import ID, SRC, add_identity, vector_schema
 from ..operators import mxv
 
 
@@ -31,7 +31,9 @@ def mpv(
     """u = Aᵏ·v under ``ring`` (mpv.hpp:94)."""
     u = v
     for _ in range(k):
-        u = mxv(A, u, ring, transpose=transpose).localCheckpoint(eager=True)
+        # lazy: the caller's first action materializes every hop in one
+        # job instead of one blocking job per hop (the one-job pattern)
+        u = mxv(A, u, ring, transpose=transpose).localCheckpoint(eager=False)
     return u
 
 
@@ -51,9 +53,13 @@ def knn(
     """k-hop neighbourhood of ``source`` (knn.hpp:82): forward reachability
     within ≤ k hops, self included (add_identity); reference golden is the
     neighbourhood SIZE (smoketests.sh:129)."""
-    ai = add_identity(A, spark, n)
+    # cache A+I once (size-derived layout, guide §2): every hop scans it
+    from ..plans.partitions import cache_sized
+
+    ai, _ = cache_sized(spark, add_identity(A, spark, n), key=SRC)
     onehot = spark.createDataFrame([(source, True)], vector_schema("boolean"))
     # knn.hpp:129-135: mpv with transpose ⇒ u = (Mᵀ)ᵏ e_src, M = A+I
     u = mpv(spark, ai, k, onehot, alg.OR_AND, transpose=True)
-    reached = u.where("val")
+    reached = u.where("val").localCheckpoint(eager=True)
+    ai.unpersist()
     return KnnResult(reached=reached.select(ID, "val"), size=reached.count())

@@ -97,13 +97,16 @@ def simple_pagerank(
         strategy = "broadcast" if n <= dense_broadcast_nnz else "shuffle"
     we_persisted = False
     if not edges.storageLevel.useMemory:
-        if strategy == "broadcast":
-            # pre-partition by dst ONCE: the broadcast hash join preserves
-            # this partitioning, so every iteration's groupBy(dst) runs
-            # exchange-free — zero per-iteration edge shuffle
-            p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            edges = edges.repartition(p, "dst")
-        edges = edges.persist()
+        # pre-partition by dst ONCE (broadcast strategy): the broadcast
+        # hash join preserves this partitioning, so every iteration's
+        # groupBy(dst) runs exchange-free. The partition count is
+        # size-derived (guide §2), capped at the conf parallelism — at
+        # scale this is exactly the old conf-sized layout.
+        from ..plans.partitions import cache_sized
+
+        edges, _ = cache_sized(
+            spark, edges, key="dst" if strategy == "broadcast" else None
+        )
         we_persisted = True
 
     # --- prelude: inverted scaled out-degrees -------------------------------

@@ -77,14 +77,24 @@ def empty_vector(spark: SparkSession, val_type: str = "double") -> DataFrame:
 
 def set_dense(spark: SparkSession, n: int, value: object) -> DataFrame:
     """set(x, val) dense overload (io.hpp:857): broadcast a scalar to all n
-    entries. ``spark.range`` is a parallel, shuffle-free source."""
-    return spark.range(n).select(F.col("id").alias(ID), F.lit(value).alias(VAL))
+    entries. ``spark.range`` is a parallel, shuffle-free source; the
+    partition count is size-derived (guide §2 — n rows of (id,val) need
+    parallelism proportional to n, not the core count)."""
+    from .plans.partitions import range_partitions
+
+    return spark.range(0, n, 1, range_partitions(spark, n)).select(
+        F.col("id").alias(ID), F.lit(value).alias(VAL)
+    )
 
 
 def set_use_index(spark: SparkSession, n: int) -> DataFrame:
     """set<use_index> (descriptors.hpp:167): value := own index — the
     vertex-ID init of Pregel CC (pregel_connected_components.hpp:136)."""
-    return spark.range(n).select(F.col("id").alias(ID), F.col("id").alias(VAL))
+    from .plans.partitions import range_partitions
+
+    return spark.range(0, n, 1, range_partitions(spark, n)).select(
+        F.col("id").alias(ID), F.col("id").alias(VAL)
+    )
 
 
 def set_masked(

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from ..algorithms.mis import PRIO_MOD, PRIO_MULT
 from ..containers import DST, SRC
+from ..plans.partitions import cache_sized
 
 #: per-step salt (odd, coprime with the modulus).
 STEP_SALT = 40503
@@ -62,14 +63,17 @@ def random_walks(
     if length < 0:
         raise ValueError("length must be >= 0")
     w = Window.partitionBy(SRC).orderBy(DST)
-    nbr = (
-        edges.select(SRC, DST)
-        .select(SRC, DST, (F.row_number().over(w) - 1).alias("_i"))
-        .repartition(SRC)
-        .persist()
+    # the window exec already hash-partitions by src, so no extra
+    # repartition(SRC) exchange (guide §2.4); the persisted layout is
+    # size-derived (guide §2) and conf-capped — unchanged at scale
+    nbr, _ = cache_sized(
+        spark,
+        edges.select(SRC, DST).select(
+            SRC, DST, (F.row_number().over(w) - 1).alias("_i")
+        ),
+        key=SRC,
     )
     deg = nbr.groupBy(SRC).agg(F.count("*").alias("_d")).persist()
-    nbr.count()
 
     if starts is None:
         starts = spark.range(n).select(F.col("id"))
@@ -115,4 +119,10 @@ def random_walks(
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
+    # NOTE: the union branches re-derive the step-t state lazily, and
+    # actions over `out` (count, column-pruned scans) exploit that —
+    # measured: inserting per-step localCheckpoints + a final eager one
+    # costs ~25% wall (interleaved A/B, sf0.1) because the checkpoint
+    # materialises full rows the action may never need. nbr/deg stay
+    # cached while `out` is alive for the same reason.
     return WalkResult(walks=out, length=length)

@@ -67,6 +67,7 @@ from pyspark.sql.types import DataType, StructType, _parse_datatype_string
 from . import algebra as alg
 from .containers import DST, ID, SRC, VAL
 from .operators import vxm
+from .plans.partitions import cache_sized, range_partitions
 
 
 @dataclass
@@ -150,7 +151,7 @@ def _degrees(spark: SparkSession, edges: DataFrame, n: int) -> DataFrame:
     out = edges.groupBy(F.col(SRC).alias(ID)).agg(F.count("*").alias("outdegree"))
     inn = edges.groupBy(F.col(DST).alias(ID)).agg(F.count("*").alias("indegree"))
     return (
-        spark.range(n)
+        spark.range(0, n, 1, range_partitions(spark, n))
         .select(F.col("id").alias(ID))
         .join(out, on=ID, how="left")
         .join(inn, on=ID, how="left")
@@ -190,7 +191,11 @@ def pregel(
     """
     if sparsify not in _SPARSIFY:
         raise ValueError(f"sparsify must be one of {_SPARSIFY}")
-    nnz = num_edges if num_edges is not None else edges.count()
+    # the superstep loop scans the edge table every round: cache it ONCE
+    # in a size-derived layout (guide §2/§5 — it was re-derived from its
+    # source plan per round before) and reuse the count it needed anyway
+    edges, counted = cache_sized(spark, edges, key=SRC)
+    nnz = num_edges if num_edges is not None else counted
     state_dt = _parse_datatype_string(state_type)
     msg_dt = _parse_datatype_string(msg_type)
     msg_id_col = _struct_lit(combiner.identity, msg_dt)
@@ -411,6 +416,7 @@ def pregel(
             converged = False
             break
 
+    edges.unpersist()  # state is checkpointed — the cache can go
     result = state.select(*_STATE_COLS)
     if checkpointer is not None:
         checkpointer.save(
