@@ -99,10 +99,12 @@ def neighborhood_function(
     s = spark.range(0, n, 1, range_partitions(spark, n)).select(
         F.col("id").alias(ID), fm_init_col(F.col("id")).alias("_s")
     )
+    small = n <= 1_000_000  # static broadcast gate (blas2 threshold)
     hops = []
     for h in range(1, rounds + 1):
+        pull_side = s.select(F.col(ID).alias(DST), F.col("_s").alias("_x"))
         pulled = (
-            E.join(s.select(F.col(ID).alias(DST), F.col("_s").alias("_x")), on=DST)
+            E.join(F.broadcast(pull_side) if small else pull_side, on=DST)
             .groupBy(SRC)
             .agg(F.bit_or("_x").alias("_o"))
             .select(F.col(SRC).alias(ID), "_o")
@@ -151,9 +153,11 @@ def anf(
         F.col("id").alias(ID), fm_init_col(F.col("id")).alias("_s")
     )
 
+    small = n <= 1_000_000  # static broadcast gate (blas2 threshold)
     for _ in range(rounds):
+        pull_side = s.select(F.col(ID).alias(DST), F.col("_s").alias("_x"))
         pulled = (
-            E.join(s.select(F.col(ID).alias(DST), F.col("_s").alias("_x")), on=DST)
+            E.join(F.broadcast(pull_side) if small else pull_side, on=DST)
             .groupBy(SRC)
             .agg(F.bit_or("_x").alias("_o"))
             .select(F.col(SRC).alias(ID), "_o")

@@ -44,6 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..containers import DST, ID, SRC
+from ..operators.blas2 import BROADCAST_NNZ_THRESHOLD
 from ..plans.partitions import cache_sized, range_partitions
 
 
@@ -96,13 +97,22 @@ def fastsv_components(
             .localCheckpoint(eager=True)
         )
 
+    # driver-known vector size gates STATIC broadcast plans for the
+    # per-round f-joins (no AQE both-sides materialization barrier —
+    # the hits5 measurement); f is checkpointed, so the count is free
+    n_vert = f.count()
+    small = n_vert <= BROADCAST_NNZ_THRESHOLD
+
+    def _hint(side: DataFrame) -> DataFrame:
+        return F.broadcast(side) if small else side
+
     rounds = resume_round
     while True:
         rounds += 1
         # gp[i] = f[f[i]] — parent side is unique-keyed (id), child side
         # joins on its f value (skewed toward roots; lookup shape)
         par = f.select(F.col(ID).alias("_p"), F.col("f").alias("_gpv"))
-        gp = f.join(par, on=F.col("f") == F.col("_p")).select(
+        gp = f.join(_hint(par), on=F.col("f") == F.col("_p")).select(
             ID, "f", F.col("_gpv").alias("gp")
         )
 
@@ -110,7 +120,7 @@ def fastsv_components(
         # edges stay in their dst-hash layout; map-side partial min
         mh = (
             E.join(
-                gp.select(F.col(ID).alias(DST), F.col("gp").alias("_g")),
+                _hint(gp.select(F.col(ID).alias(DST), F.col("gp").alias("_g"))),
                 on=DST,
             )
             .groupBy(F.col(SRC).alias(ID))

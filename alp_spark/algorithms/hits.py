@@ -92,11 +92,17 @@ def hits(
     )
     a = None
     for _ in range(iters):
+        # frontier_nnz=n: the score vectors are ≤ n entries by
+        # construction, so the driver-known size gates a STATIC
+        # broadcast plan — no AQE both-sides materialization barrier
+        # per SpMV (measured 5.2 s → 3.4 s on the 5-round bench run)
         # authority: a[j] = Σ_{i→j} h[i]  (join src, group dst)
-        a = _normalize(vxm(h, E, alg.PLUS_TIMES)).localCheckpoint(eager=False)
+        a = _normalize(
+            vxm(h, E, alg.PLUS_TIMES, frontier_nnz=n)
+        ).localCheckpoint(eager=False)
         # hub: h[i] = Σ_{i→j} a[j]  (join dst, group src)
         h = _normalize(
-            vxm(a, E, alg.PLUS_TIMES, transpose=True)
+            vxm(a, E, alg.PLUS_TIMES, transpose=True, frontier_nnz=n)
         ).localCheckpoint(eager=False)
     # ONE action for the whole run: filling h's checkpoint pulls every
     # lazy checkpoint in the chain (a feeds h), so E can be released

@@ -53,7 +53,7 @@ def label_propagation(
 
     ones = set_dense(spark, n, 1.0)
     dinv = (
-        mxv(weighted_edges, ones, alg.PLUS_TIMES)
+        mxv(weighted_edges, ones, alg.PLUS_TIMES, frontier_nnz=n)
         .select(ID, (F.lit(1.0) / F.col(VAL)).alias("dinv"))
         .persist()
     )

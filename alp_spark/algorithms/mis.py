@@ -82,6 +82,16 @@ def maximal_independent_set(
         F.lit(UNDECIDED).alias("_st"),
     ).localCheckpoint(eager=True)
 
+    # driver-known state size gates STATIC broadcast plans for the
+    # per-round joins against the ≤ n-row state slices (no AQE
+    # both-sides materialization barrier — the hits5 measurement)
+    from ..operators.blas2 import BROADCAST_NNZ_THRESHOLD
+
+    small = n <= BROADCAST_NNZ_THRESHOLD
+
+    def _hint(side: DataFrame) -> DataFrame:
+        return F.broadcast(side) if small else side
+
     rounds = 0
     while True:
         und = st.where(F.col("_st") == UNDECIDED)
@@ -89,10 +99,10 @@ def maximal_independent_set(
         # (min, second) mxv masked to the undecided set on both sides
         mn = (
             E.join(
-                und.select(F.col(ID).alias(DST), F.col("_p").alias("_np")),
+                _hint(und.select(F.col(ID).alias(DST), F.col("_p").alias("_np"))),
                 on=DST,
             )
-            .join(und.select(F.col(ID).alias(SRC)), on=SRC, how="left_semi")
+            .join(_hint(und.select(F.col(ID).alias(SRC))), on=SRC, how="left_semi")
             .groupBy(SRC)
             .agg(F.min("_np").alias("_mn"))
             .select(F.col(SRC).alias(ID), "_mn")
@@ -103,7 +113,9 @@ def maximal_independent_set(
             .select(ID)
         )
         nbrs = (
-            E.join(winners.select(F.col(ID).alias(SRC)), on=SRC, how="left_semi")
+            E.join(
+                _hint(winners.select(F.col(ID).alias(SRC))), on=SRC, how="left_semi"
+            )
             .select(F.col(DST).alias(ID))
             .distinct()
         )

@@ -27,13 +27,19 @@ def mpv(
     v: DataFrame,
     ring: alg.Semiring,
     transpose: bool = False,
+    frontier_nnz: int | None = None,
 ) -> DataFrame:
-    """u = Aᵏ·v under ``ring`` (mpv.hpp:94)."""
+    """u = Aᵏ·v under ``ring`` (mpv.hpp:94).
+
+    ``frontier_nnz``: driver-known bound on nnz(u) across hops — gates
+    a static broadcast plan per hop (the vxm strategy input)."""
     u = v
     for _ in range(k):
         # lazy: the caller's first action materializes every hop in one
         # job instead of one blocking job per hop (the one-job pattern)
-        u = mxv(A, u, ring, transpose=transpose).localCheckpoint(eager=False)
+        u = mxv(
+            A, u, ring, transpose=transpose, frontier_nnz=frontier_nnz
+        ).localCheckpoint(eager=False)
     return u
 
 
@@ -59,7 +65,7 @@ def knn(
     ai, _ = cache_sized(spark, add_identity(A, spark, n), key=SRC)
     onehot = spark.createDataFrame([(source, True)], vector_schema("boolean"))
     # knn.hpp:129-135: mpv with transpose ⇒ u = (Mᵀ)ᵏ e_src, M = A+I
-    u = mpv(spark, ai, k, onehot, alg.OR_AND, transpose=True)
+    u = mpv(spark, ai, k, onehot, alg.OR_AND, transpose=True, frontier_nnz=n)
     reached = u.where("val").localCheckpoint(eager=True)
     ai.unpersist()
     return KnnResult(reached=reached.select(ID, "val"), size=reached.count())

@@ -119,8 +119,11 @@ def simple_pagerank(
     # graphs (e.g. host-level rollups carrying link multiplicities).
     row_ring = alg.PLUS_TIMES if VAL in edges.columns else alg.PLUS_FIRST
     ones = set_dense(spark, n, 1.0)
+    # the prelude row-sum uses the same strategy gate as the loop: the
+    # dense ones vector broadcasts when n fits, so the cached edge
+    # table is never shuffled for the degree pass either
     inv = (
-        vxm(ones, edges, row_ring, transpose=True, strategy="shuffle")
+        vxm(ones, edges, row_ring, transpose=True, strategy=strategy)
         .select(F.col(ID), (F.lit(alpha) / F.col(VAL)).alias("inv"))
         .persist()
     )

@@ -87,9 +87,22 @@ class CsrBlocks:
     layout: str = "src"  # 'src' (bincount, plus) | 'dst' (reduceat, any ⊕)
     target_edges: int = DEFAULT_TARGET_EDGES  # build-time chunk split size
     _owns_dir: bool = field(default=False, repr=False)
+    _meta_df: object = field(default=None, repr=False)
+
+    def meta_frame(self, spark: SparkSession) -> DataFrame:
+        """The chunk metadata as a cached DataFrame, built ONCE — every
+        superstep maps over this frame, so rebuilding (createDataFrame +
+        repartition) per call was one extra shuffle per superstep."""
+        if self._meta_df is None:
+            df = spark.createDataFrame(self.meta).repartition(
+                max(1, min(self.n_partitions, len(self.meta)))
+            )
+            self._meta_df = df.localCheckpoint(eager=True)
+        return self._meta_df
 
     def unpersist(self) -> None:
         """Delete the packed block files."""
+        self._meta_df = None
         if self._owns_dir:
             shutil.rmtree(self.cache_dir, ignore_errors=True)
 
@@ -110,12 +123,17 @@ def build_csr_blocks(
     every subsequent superstep. Pattern matrices only (the link graph);
     weighted SpMV stays on the shuffle path.
     """
-    P = n_partitions or spark.sparkContext.defaultParallelism
     # output ranges are sized so one range holds ≈ target_edges edges:
     # segments stay L1/L2-resident for the bincount scatter, sub-chunk
     # duplication (hub ranges) stays rare, and the per-superstep collect
     # volume stays ≈ n*8 bytes regardless of how many chunks exist
     m = edges.count()
+    # default parallelism is size-derived (guide §2): small graphs get
+    # few, larger chunks (per-task overhead dominates below ~250k edges
+    # per chunk); large graphs keep the full configured parallelism
+    P = n_partitions or max(
+        1, min(spark.sparkContext.defaultParallelism, -(-m // 250_000))
+    )
     n_pids = max(P, -(-m // target_edges))
     width = -(-n // n_pids)  # ceil
     src_dtype = "int32" if n < 2**31 else "int64"
@@ -327,8 +345,9 @@ def spmv_dense(
             yield pd.DataFrame(out)
 
     # round-robin chunk distribution: ≤target_edges per chunk, so tasks
-    # balance regardless of hub-range weight (no hash-collision stragglers)
-    meta_df = spark.createDataFrame(csr.meta).repartition(csr.n_partitions)
+    # balance regardless of hub-range weight (no hash-collision
+    # stragglers); the frame is cached on the CsrBlocks (built once)
+    meta_df = csr.meta_frame(spark)
     rows = meta_df.mapInPandas(kernel, schema="lo long, width int, seg binary")
     y = np.full(n, ident)
     for r in rows.collect():  # ~P rows of width*8 bytes — Σ ≈ n*8 bytes
