@@ -192,8 +192,11 @@ def _kcore_hindex(
     collect_list); exactly ONE driver action per round."""
     from pyspark.sql import Window
 
-    sym_edges = sym_edges.repartition(SRC)
-    sym_edges = sym_edges.persist()
+    from ..plans.partitions import cache_sized, range_partitions
+
+    # size-derived cached layout (guide §2; conf-capped — identical at
+    # scale); the count doubles as the frontier-mode gate input below
+    sym_edges, m_sym = cache_sized(spark, sym_edges, key=SRC)
 
     if resume_state is not None:
         h = resume_state.select(ID, "h").localCheckpoint(eager=True)
@@ -202,7 +205,7 @@ def _kcore_hindex(
             F.count("*").alias("h")
         )
         h = (
-            spark.range(n)
+            spark.range(0, n, 1, range_partitions(spark, n))
             .select(F.col("id").alias(ID))
             .join(deg, on=ID, how="left")
             .select(ID, F.coalesce("h", F.lit(0)).alias("h"))
@@ -229,7 +232,6 @@ def _kcore_hindex(
     # 39 s frontier; at 1M/47M edges frontier wins (116 → 100 s) and at
     # 158.6M edges it wins 817 → 629 s.
     frontier_threshold = 50_000
-    m_sym = sym_edges.count()  # also materializes the persist
     frontier_enabled = m_sym >= frontier_min_edges
     changed_prev = None  # None = recompute everything (also on resume)
     nch = None

@@ -68,12 +68,30 @@ def _min_flood(
             .agg(F.min("_in").alias("_m"))
             .select(F.col(b).alias(ID), "_m")
         )
+        # shortcutting (VERDICT r5): pointer-double on the label vector —
+        # f[f[v]] is a valid "reaches v" label (u = f[v] reaches v and
+        # f[u] reaches u), so folding it into the min compresses long
+        # propagation chains from O(diameter) to O(log) rounds while
+        # leaving the fixpoint (the true reachability minimum) unchanged.
+        # The parent side is unique-keyed — the FastSV lookup shape.
+        gp = f.join(
+            f.select(F.col(ID).alias("_p"), F.col("_f").alias("_gf")),
+            on=F.col("_f") == F.col("_p"),
+        ).select(ID, F.col("_gf").alias("_g"))
         nxt = (
             f.join(pushed, on=ID, how="left")
+            .join(gp, on=ID, how="left")
             .select(
                 ID,
-                F.least(F.col("_f"), F.coalesce("_m", F.col("_f"))).alias("_f"),
-                (F.coalesce("_m", F.col("_f")) < F.col("_f")).alias("_chg"),
+                F.least(
+                    F.col("_f"),
+                    F.coalesce("_m", F.col("_f")),
+                    F.coalesce("_g", F.col("_f")),
+                ).alias("_f"),
+                (
+                    (F.coalesce("_m", F.col("_f")) < F.col("_f"))
+                    | (F.coalesce("_g", F.col("_f")) < F.col("_f"))
+                ).alias("_chg"),
             )
             .localCheckpoint(eager=False)
         )
@@ -97,8 +115,9 @@ def reach_set(
     expands only the new frontier (classic delta optimisation — the
     SSSP delta-frontier argument with the boolean (or, and) ring)."""
     a, b = (SRC, DST) if forward else (DST, SRC)
-    E = edges.select(SRC, DST).repartition(a).persist()
-    E.count()
+    from ..plans.partitions import cache_sized
+
+    E, _ = cache_sized(spark, edges.select(SRC, DST), key=a)
     r = seeds.select(ID).distinct().localCheckpoint(eager=True)
     frontier = r
     while True:
@@ -170,8 +189,9 @@ def strongly_connected_components(
     active = spark.range(n).select(F.col("id").alias(ID)).localCheckpoint(
         eager=True
     )
-    Eact = edges.select(SRC, DST).repartition(DST).persist()
-    Eact.count()
+    from ..plans.partitions import cache_sized
+
+    Eact, _ = cache_sized(spark, edges.select(SRC, DST), key=DST)
 
     outer = 0
     inner = 0

@@ -372,3 +372,25 @@ def test_neighborhood_function(spark):
         assert got[h] == pytest.approx(round(z / FM_PHI, 6), abs=1e-9), h
     # monotone non-decreasing in h
     assert got[1] <= got[2] <= got[3]
+
+
+def test_k_truss_incremental_cascade(spark):
+    # triangle chain (0,1,2)(1,2,3)(2,3,4)(3,4,5) hanging next to a K7:
+    # k=4 peels the chain over multiple rounds — round 1 drops every
+    # sup-1 edge (two edges of triangle (0,1,2) drop TOGETHER, so the
+    # incremental pass must count that triangle's loss exactly once),
+    # round 2's decrements zero the chain's spine, the K7 survives
+    # untouched. The K7 keeps the dropped set a small fraction of the
+    # survivors, so the |dropped|-proportional incremental path (not
+    # the full-recompute fallback) runs — verified end to end against
+    # a hand-computed fixpoint.
+    from alp_spark.algorithms.truss import k_truss
+
+    chain = [(0, 1), (0, 2), (1, 2), (1, 3), (2, 3), (2, 4), (3, 4), (3, 5), (4, 5)]
+    k7 = [(a, b) for a in range(100, 107) for b in range(100, 107) if a < b]
+    und = chain + k7
+    sym = und + [(b, a) for a, b in und]
+    res = k_truss(spark, edges_df(spark, sym), k=4)
+    got = sorted((r["src"], r["dst"]) for r in res.edges.collect())
+    assert got == sorted(k7)
+    assert res.rounds >= 3  # the cascade really took multiple peels

@@ -93,3 +93,22 @@ def test_bowtie_classes(spark):
         0: "in", 1: "core", 2: "core", 3: "core",
         4: "out", 5: "in", 6: "other", 7: "other",
     }
+
+
+def test_min_flood_shortcutting_compresses_long_cycles(spark):
+    # a directed 48-cycle: without pointer-doubling the color flood
+    # needs ~48 rounds (label 0 walks the cycle one hop per round);
+    # with the grandparent min (f <- min(f, f[f], pushed)) the chain
+    # compresses geometrically. Same fixpoint either way.
+    from pyspark.sql import functions as F
+
+    from alp_spark.algorithms.scc import _min_flood
+
+    n = 48
+    edges = [(i, (i + 1) % n) for i in range(n)]
+    E = edges_df(spark, edges)
+    active = spark.range(n).select(F.col("id"))
+    f, rounds = _min_flood(active, E, forward=True)
+    got = {r["id"]: r["_f"] for r in f.collect()}
+    assert got == {v: 0 for v in range(n)}
+    assert rounds <= 12, f"shortcutting should beat O(n) rounds, got {rounds}"
