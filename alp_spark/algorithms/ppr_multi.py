@@ -56,13 +56,15 @@ def ppr_multi(
     if not 0 < alpha < 1 or rounds < 1:
         raise ValueError("alpha must be in (0,1), rounds >= 1")
 
-    p = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    E = edges.select(SRC, DST).repartition(p, DST).persist()
-    E.count()
+    # size-derived cached layout (guide §2; conf-capped — identical at
+    # scale); the row-sum prelude broadcasts the dense ones vector
+    from ..plans.partitions import cache_sized
+
+    E, _ = cache_sized(spark, edges.select(SRC, DST), key=DST)
 
     ones = set_dense(spark, n, 1.0)
     inv = (
-        vxm(ones, E, alg.PLUS_FIRST, transpose=True, strategy="shuffle")
+        vxm(ones, E, alg.PLUS_FIRST, transpose=True, frontier_nnz=n)
         .select(ID, (F.lit(alpha) / F.col(VAL)).alias("_inv"))
         .persist()
     )
@@ -86,14 +88,15 @@ def ppr_multi(
             .groupBy("seed")
             .agg(F.sum(VAL).alias("_dm"))
         )
+        scaled = state.join(inv, on=ID).select(
+            "seed",
+            F.col(ID).alias(SRC),
+            (F.col(VAL) * F.col("_inv")).alias("_x"),
+        )
+        if len(seeds) * n <= 1_000_000:  # blas2 broadcast threshold
+            scaled = F.broadcast(scaled)
         contrib = (
-            state.join(inv, on=ID)
-            .select(
-                "seed",
-                F.col(ID).alias(SRC),
-                (F.col(VAL) * F.col("_inv")).alias("_x"),
-            )
-            .join(E, on=SRC)
+            scaled.join(E, on=SRC)
             .groupBy("seed", DST)
             .agg(F.sum("_x").alias("_c"))
             .select("seed", F.col(DST).alias(ID), "_c")

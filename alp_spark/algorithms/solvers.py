@@ -74,6 +74,14 @@ def conjugate_gradient(
     reference FAILED code at the iteration cap."""
     if tol <= 0:
         raise ValueError("tol must be positive (reference ILLEGAL)")
+    # cache the matrix once (size-derived layout, guide §2): every
+    # Krylov step's SpMV scans it; it was re-derived from its source
+    # plan per iteration before. Each A-referencing state frame is
+    # checkpointed and materialized by the step's own reduction, so the
+    # cache can be released at return.
+    from ..plans.partitions import cache_sized
+
+    A, _ = cache_sized(spark, A, key="dst")
     x_init = x0 if x0 is not None else set_dense(spark, n, 0.0)
 
     # r = b - A x0;  u = r  (conjugate_gradient.hpp:283-298)
@@ -135,6 +143,7 @@ def conjugate_gradient(
             )
             sigma = residual
 
+    A.unpersist()
     return SolveResult(
         x=st.select(ID, F.col("x").alias(VAL)),
         iterations=iters,
@@ -157,6 +166,10 @@ def bicgstab(
     checked against tol²·(b'b) (bicgstab.hpp:278-311)."""
     if tol <= 0:
         raise ValueError("tol must be positive (reference ILLEGAL)")
+    # cache the matrix once per solve (see conjugate_gradient)
+    from ..plans.partitions import cache_sized
+
+    A, _ = cache_sized(spark, A, key="dst")
     x_init = x0 if x0 is not None else set_dense(spark, n, 0.0)
 
     st = (
@@ -188,6 +201,7 @@ def bicgstab(
     st = st.drop("_b")
 
     if residual < eff_tol:
+        A.unpersist()
         return SolveResult(
             x=st.select(ID, F.col("x").alias(VAL)),
             iterations=0, residual=residual, converged=True,
@@ -267,6 +281,7 @@ def bicgstab(
         rho_old = rho
         rho = float(row["rho"])
 
+    A.unpersist()
     return SolveResult(
         x=st.select(ID, F.col("x").alias(VAL)),
         iterations=iters,
@@ -336,6 +351,10 @@ def conjugate_gradient_complex(
     via one up-front SpMV when x0 ≠ 0."""
     if tol <= 0:
         raise ValueError("tol must be positive (reference ILLEGAL)")
+    # cache the matrix once per solve (see conjugate_gradient)
+    from ..plans.partitions import cache_sized
+
+    A, _ = cache_sized(spark, A, key="dst")
 
     ids = spark.range(n).select(F.col("id").alias(ID))
     st = ids.join(
@@ -423,6 +442,7 @@ def conjugate_gradient_complex(
         )
         sigma = beta
 
+    A.unpersist()
     return ComplexSolveResult(
         x=st.select(ID, F.col("x_re").alias("re"), F.col("x_im").alias("im")),
         iterations=iters,
