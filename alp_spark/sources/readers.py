@@ -53,10 +53,26 @@ def read_matrix_market(
     banner = head[0]["value"].lower()
     if not banner.startswith("%%matrixmarket"):
         raise ValueError("not a MatrixMarket file")
-    pattern = "pattern" in banner
-    is_complex = "complex" in banner
-    hermitian = "hermitian" in banner
-    symmetric = "symmetric" in banner or hermitian
+    # parse the banner TOKENS exactly (ADVICE r5 medium): substring
+    # matching made a 'skew-symmetric' header match 'symmetric' and
+    # silently mirror WITHOUT negating values — the reference parser
+    # matches the exact field and throws on anything it does not
+    # support (MatrixFileReaderBase.hpp:151-159), and so do we.
+    toks = banner.split()
+    # %%matrixmarket matrix coordinate <field> <symmetry>
+    if len(toks) < 5 or toks[1] != "matrix" or toks[2] != "coordinate":
+        raise ValueError(f"unsupported MatrixMarket header: {banner!r}")
+    field, structure = toks[3], toks[4]
+    if field not in ("pattern", "real", "integer", "complex"):
+        raise ValueError(f"unsupported MatrixMarket field: {field!r}")
+    if structure not in ("general", "symmetric", "hermitian"):
+        raise ValueError(
+            f"unsupported MatrixMarket structure: {structure!r}"
+        )
+    pattern = field == "pattern"
+    is_complex = field == "complex"
+    hermitian = structure == "hermitian"
+    symmetric = structure == "symmetric" or hermitian
     dims = next(
         r["value"] for r in head[1:] if not r["value"].startswith("%")
     )

@@ -130,3 +130,21 @@ def test_read_matrix_market_pattern_symmetric(spark, tmp_path):
     E, nr, nc = read_matrix_market(spark, str(p))
     got = {(r[SRC], r[DST]) for r in E.collect()}
     assert got == {(1, 0), (0, 1), (2, 2)}  # off-diagonal mirrored
+
+
+def test_matrix_market_rejects_skew_symmetric(spark, tmp_path):
+    # the reference parser fail-stops on structures it does not model
+    # (MatrixFileReaderBase.hpp:151-159); substring banner matching used
+    # to treat skew-symmetric as symmetric and mirror WITHOUT negation
+    import pytest
+
+    from alp_spark.sources.readers import read_matrix_market
+
+    p = tmp_path / "skew.mtx"
+    p.write_text(
+        "%%MatrixMarket matrix coordinate real skew-symmetric\n"
+        "2 2 1\n"
+        "2 1 3.0\n"
+    )
+    with pytest.raises(ValueError, match="skew-symmetric"):
+        read_matrix_market(spark, str(p))
