@@ -45,6 +45,7 @@ from alp_spark.pipeline import (
     minhash_signatures,
     ngram_jaccard_pairs,
     quality_score,
+    shingle_sets,
     simhash_signatures,
     srp_candidate_pairs,
     token_stats,
@@ -953,12 +954,18 @@ def q_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-then-verify: exact n-gram Jaccard computed ONLY for MinHash
     band-collision candidates — candidate-proportional shuffle volume
-    (hot shingles like 'of the' never cross-product)."""
+    (hot shingles like 'of the' never cross-product). The corpus
+    tokenize+shingle pass is computed ONCE (shared shingle_sets frame,
+    persisted) and feeds both the signature build and the two verify
+    join sides — it ran three times before (guide §2.3: scan the text
+    once). The cache stays alive while the lazy result is (the
+    random_walks posture)."""
     docs = _docs_parallel(spark, sf_dir)
-    sigs = minhash_signatures(docs, num_hashes=MINHASHES, shingle_k=2)
+    shs = shingle_sets(docs, shingle_k=2).persist()
+    sigs = minhash_signatures(docs, num_hashes=MINHASHES, shingle_k=2, shingles=shs)
     cands = lsh_candidate_pairs(sigs, num_hashes=MINHASHES, band_size=BAND_SIZE)
     return ngram_jaccard_pairs(
-        docs, shingle_k=2, threshold=JACCARD_MIN, candidates=cands
+        docs, shingle_k=2, threshold=JACCARD_MIN, candidates=cands, shingles=shs
     )
 
 
@@ -972,10 +979,11 @@ def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_parallel(spark, sf_dir)
     exact_keep = exact_dedup(docs).select(F.col("keep_id").alias("doc_id"))
     kept = docs.join(exact_keep, on="doc_id", how="left_semi")
-    sigs = minhash_signatures(kept, num_hashes=MINHASHES, shingle_k=2)
+    shs = shingle_sets(kept, shingle_k=2).persist()
+    sigs = minhash_signatures(kept, num_hashes=MINHASHES, shingle_k=2, shingles=shs)
     cands = lsh_candidate_pairs(sigs, num_hashes=MINHASHES, band_size=BAND_SIZE)
     near = ngram_jaccard_pairs(
-        kept, shingle_k=2, threshold=DEDUP_JACCARD, candidates=cands
+        kept, shingle_k=2, threshold=DEDUP_JACCARD, candidates=cands, shingles=shs
     )
     drop = near.select(F.col("doc_b").alias("doc_id")).distinct()
     return kept.join(drop, on="doc_id", how="left_anti").select("doc_id")
@@ -990,10 +998,11 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from alp_spark.pipeline import dedup_clusters
 
     docs = _docs_parallel(spark, sf_dir)
-    sigs = minhash_signatures(docs, num_hashes=MINHASHES, shingle_k=2)
+    shs = shingle_sets(docs, shingle_k=2).persist()
+    sigs = minhash_signatures(docs, num_hashes=MINHASHES, shingle_k=2, shingles=shs)
     cands = lsh_candidate_pairs(sigs, num_hashes=MINHASHES, band_size=BAND_SIZE)
     near = ngram_jaccard_pairs(
-        docs, shingle_k=2, threshold=DEDUP_JACCARD, candidates=cands
+        docs, shingle_k=2, threshold=DEDUP_JACCARD, candidates=cands, shingles=shs
     )
     return dedup_clusters(spark, docs, near)
 

@@ -24,6 +24,7 @@ from .dedup import (  # noqa: F401
     lsh_candidate_pairs,
     minhash_signatures,
     ngram_jaccard_pairs,
+    shingle_sets,
     shingles_col,
 )
 from .sessions import sessionize, streaming_sessionize  # noqa: F401

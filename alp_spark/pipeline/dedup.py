@@ -69,8 +69,30 @@ def minhash_params(num_hashes: int, seed: int = 13) -> list[tuple[int, int]]:
     ]
 
 
+def shingle_sets(docs: DataFrame, shingle_k: int = 2) -> DataFrame:
+    """(doc_id, _sh) — each document's DISTINCT word-shingle array.
+
+    The one tokenize+shingle pass both the MinHash signature build and
+    the candidate Jaccard verify consume: computing it once (and letting
+    the caller persist it) removes the redundant corpus-wide
+    tokenization passes an LSH-then-verify pipeline otherwise pays —
+    at 100 TB the map-side text work is the dominant scan cost, so
+    running it once instead of three times is a direct guide-§2.3 cut
+    (shuffle/scan fewer bytes; identical expressions, identical
+    results)."""
+    return docs.select(
+        "doc_id",
+        F.array_distinct(
+            shingles_col(tokens_col(F.col("text")), shingle_k)
+        ).alias("_sh"),
+    )
+
+
 def minhash_signatures(
-    docs: DataFrame, num_hashes: int = 8, shingle_k: int = 2
+    docs: DataFrame,
+    num_hashes: int = 8,
+    shingle_k: int = 2,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, sig0..sig{H-1}) MinHash signature per document.
 
@@ -87,8 +109,17 @@ def minhash_signatures(
 
     Mirror SQL: ``(a_j * (('0x' || substr(md5(x), 1, 14))::BIGINT %
     2147483647) + b_j) % 2147483647`` — bit-exact across engines.
+
+    ``shingles``: optional precomputed :func:`shingle_sets` frame —
+    the signature min then folds over that (identical distinct-shingle
+    array, so identical signatures) and the corpus tokenize+shingle
+    pass is shared with the verify stage instead of recomputed.
     """
-    sh = F.array_distinct(shingles_col(tokens_col(F.col("text")), shingle_k))
+    if shingles is not None:
+        src, sh = shingles, F.col("_sh")
+    else:
+        src = docs
+        sh = F.array_distinct(shingles_col(tokens_col(F.col("text")), shingle_k))
     rs = F.transform(
         sh,
         lambda s: F.conv(F.substring(F.md5(s), 1, 14), 16, 10).cast("long")
@@ -102,7 +133,7 @@ def minhash_signatures(
         return F.array_min(F.transform(rs, lambda r: (a * r + b) % MINHASH_P))
 
     cols = [seeded_min(j).alias(f"sig{j}") for j in range(num_hashes)]
-    return docs.select("doc_id", *cols)
+    return src.select("doc_id", *cols)
 
 
 def lsh_candidate_pairs(
@@ -185,6 +216,7 @@ def ngram_jaccard_pairs(
     shingle_k: int = 2,
     threshold: float = 0.5,
     candidates: DataFrame | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for document pairs.
 
@@ -206,11 +238,13 @@ def ngram_jaccard_pairs(
         # aggregation at all (guide §2.3/§2.4; measured 2.9 s → below
         # 1 s at sf0.1). Counts are identical: both sides are distinct
         # arrays, so the old per-shingle join count IS |A ∩ B|.
-        shsets = docs.select(
-            "doc_id",
-            F.array_distinct(
-                shingles_col(tokens_col(F.col("text")), shingle_k)
-            ).alias("_sh"),
+        # ``shingles`` (when given) is the shared shingle_sets frame —
+        # the tokenize+shingle pass then runs once for the whole
+        # pipeline instead of once per join side.
+        shsets = (
+            shingles
+            if shingles is not None
+            else shingle_sets(docs, shingle_k)
         )
         return (
             candidates.join(

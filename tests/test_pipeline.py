@@ -254,6 +254,35 @@ def test_srp_candidate_pairs_and_verify(emb):
     assert {(r["id_a"], r["id_b"]) for r in verified} == {(0, 6)}
 
 
+def test_shared_shingle_pass_is_equivalent(docs):
+    # the shared shingle_sets frame must reproduce the standalone
+    # signature build and candidate verify bit-for-bit (it is the same
+    # expression, computed once — the r6 single-scan optimization)
+    from alp_spark.pipeline import shingle_sets
+
+    shs = shingle_sets(docs, shingle_k=2).persist()
+    try:
+        plain = minhash_signatures(docs, num_hashes=8, shingle_k=2)
+        shared = minhash_signatures(
+            docs, num_hashes=8, shingle_k=2, shingles=shs
+        )
+        assert sorted(map(tuple, plain.collect())) == sorted(
+            map(tuple, shared.collect())
+        )
+        cands = lsh_candidate_pairs(plain, num_hashes=8, band_size=1)
+        jp = ngram_jaccard_pairs(
+            docs, shingle_k=2, threshold=0.3, candidates=cands
+        )
+        js = ngram_jaccard_pairs(
+            docs, shingle_k=2, threshold=0.3, candidates=cands, shingles=shs
+        )
+        assert sorted(map(tuple, jp.collect())) == sorted(
+            map(tuple, js.collect())
+        )
+    finally:
+        shs.unpersist()
+
+
 def test_candidate_scoped_jaccard_matches_unscoped(docs, spark):
     # candidate-scoped intersection must equal the all-pairs result
     # restricted to the candidate set
